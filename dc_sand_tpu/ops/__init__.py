@@ -1,0 +1,19 @@
+"""TPU compute kernels (Pallas + jnp) for every hot pipeline stage.
+
+Each op has a reference ``jnp`` implementation (XLA-fused, used on CPU and
+as a fallback) and, for the contract's headline kernels (PFB-FIR, X-engine
+CMAC, beamformer — BASELINE.json:5 "all as JAX/XLA/Pallas kernels"), a
+Pallas-TPU kernel.  ``impl="auto"`` picks Pallas on TPU, jnp elsewhere.
+
+Numerics policy (the >50 dB bound, BASELINE.json:5, drives everything):
+int8 input -> float32 FIR accumulation -> float32 (complex64) FFT and phase
+rotation -> int8 requantised output -> int32 MXU CMAC.  No bfloat16 anywhere
+on the verification path.
+"""
+
+from .pfb import pfb_fir  # noqa: F401
+from .fft import channelize  # noqa: F401
+from .phase import fine_delay_fringe  # noqa: F401
+from .quant import requantize, dequantize  # noqa: F401
+from .xcorr import xcorr  # noqa: F401
+from .beamform import beamform, incoherent_sum  # noqa: F401

@@ -1,0 +1,75 @@
+"""X-engine cross-correlation CMAC (C8) + integration (C9).
+
+Golden semantics: :func:`dc_sand_tpu.golden.chain.xcorr` over the canonical
+:func:`~dc_sand_tpu.golden.chain.baseline_pairs` ordering (2080 baselines x
+4 pol products at 64 ants, BASELINE.json:5,9,10).
+
+TPU-first design: the CMAC is expressed as a *batched int8 matmul on the
+MXU* — per channel, with A = Ar + j*Ai the (antpol, time) int8 matrix,
+
+    V = A A^H  =  (Ar Ar^T + Ai Ai^T)  +  j (Ai Ar^T - Ar Ai^T)
+
+i.e. four s8 x s8 -> s32 matmuls of shape (128, T) x (T, 128) at 64
+dual-pol antennas — exactly the MXU's native tile.  This replaces the
+reference's hand-written CUDA CMAC/tensor-core kernels (SURVEY.md C8) with
+the TPU's systolic array; integration over the time axis happens *inside*
+the matmul's contraction at full int32 precision.
+
+The baseline-triangle extraction is a gather done once per accumulator dump
+(not per spectrum), so its cost is amortised to nothing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dc_sand_tpu.golden.chain import baseline_pairs
+
+__all__ = ["xcorr", "xcorr_full", "extract_baselines"]
+
+
+def xcorr_full(q: jax.Array) -> jax.Array:
+    """Full correlation matrix from channel-major quantised spectra.
+
+    ``q: (k, ant, pol, b, 2)`` int8 (corner-turned F-engine output) ->
+    ``full: (k, ap, ap, 2)`` int32 with ``ap = ant*n_pols + pol``, last axis
+    (re, im), integrated over the ``b`` spectra axis.
+    """
+    k, n_ants, n_pols, b, _ = q.shape
+    ap = n_ants * n_pols
+    a = q.reshape(k, ap, b, 2)
+    ar, ai = a[..., 0], a[..., 1]
+
+    def mm(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+
+    vr = mm(ar, ar) + mm(ai, ai)
+    vi = mm(ai, ar) - mm(ar, ai)
+    return jnp.stack([vr, vi], axis=-1)
+
+
+def extract_baselines(full: jax.Array, n_ants: int,
+                      n_pols: int) -> jax.Array:
+    """(k, ap, ap, 2) int32 -> (n_bl, pol_i, pol_j, k, 2) int32 over the
+    canonical i<=j baseline ordering."""
+    pairs = baseline_pairs(n_ants)
+    p = np.arange(n_pols)
+    rows = pairs[:, 0, None] * n_pols + p[None, :]  # (n_bl, pol)
+    cols = pairs[:, 1, None] * n_pols + p[None, :]
+    out = full[:, rows[:, :, None], cols[:, None, :]]  # (k, bl, pi, pj, 2)
+    return jnp.moveaxis(out, 0, 3)
+
+
+def xcorr(q: jax.Array) -> jax.Array:
+    """Channel-major quantised spectra -> integrated visibilities.
+
+    ``q: (k, ant, pol, b, 2)`` int8 -> ``(n_bl, pol, pol, k, 2)`` int32.
+    Headroom: |V| <= 2 * 127^2 * b; keep ``b`` per accumulation below
+    ~66k spectra (int32 bound) — the runner's dump cadence enforces this.
+    """
+    _, n_ants, n_pols, _, _ = q.shape
+    return extract_baselines(xcorr_full(q), n_ants, n_pols)

@@ -2,16 +2,27 @@
 
 The sharded-semantics tests (SURVEY.md §4.2) run the multi-chip code paths
 on a simulated mesh — the TPU-world equivalent of the reference's missing
-multi-node rig.  Must run before any jax import, hence conftest.
+multi-node rig.
+
+Note: this dev box presets ``JAX_PLATFORMS=axon`` (tunnelled TPU) and the
+axon plugin registers regardless of ``JAX_PLATFORMS``, so restricting
+platforms is not enough — we must pin ``jax_default_device`` to cpu.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_device", "cpu")
+
+
+def cpu_devices(n=8):
+    return jax.devices("cpu")[:n]

@@ -1,0 +1,197 @@
+"""Kernel-unit level (SURVEY.md §4.2): every TPU op vs its float64 golden
+model at >50 dB SNR, on the CPU backend; Pallas kernels additionally in
+interpreter mode."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from dc_sand_tpu import golden, ops
+from dc_sand_tpu.models import f_engine as jx_f_engine
+from dc_sand_tpu.models.fengine import coarse_delay
+from dc_sand_tpu.windows import pfb_window
+from dc_sand_tpu.utils import snr_db, np_c2ri, np_ri2c
+
+SNR_BOUND = 50.0  # BASELINE.json:5
+
+N_CHANS = 128
+M = 2 * N_CHANS
+TAPS = 4
+
+
+def _noise_int8(shape, seed=0, sigma=20.0):
+    return golden.quantize_adc(golden.gaussian_noise(shape, sigma, seed))
+
+
+class TestPFBFir:
+    @pytest.mark.parametrize("impl", ["jnp", "pallas_interpret"])
+    def test_matches_golden(self, impl):
+        # interpret mode is slow: use the smallest tileable shape (M=128,
+        # B=2 tiles of 16) that still exercises history carry + both slots.
+        m = M if impl == "jnp" else 128
+        x = _noise_int8((2, (32 + TAPS - 1) * m), seed=1)
+        w = pfb_window(TAPS, m)
+        ref = golden.pfb_fir(x, w, TAPS, m)
+        out = ops.pfb_fir(jnp.asarray(x), w, TAPS, m, impl=impl)
+        assert out.shape == ref.shape
+        assert snr_db(ref, np.asarray(out)) > 120  # int8-exact in fp32
+
+    def test_pallas_interpret_16taps(self):
+        """Contract tap count: TB must exceed history=15."""
+        taps, m = 16, 128
+        x = _noise_int8((1, (16 + taps - 1) * m), seed=2)
+        w = pfb_window(taps, m)
+        ref = golden.pfb_fir(x, w, taps, m)
+        out = ops.pfb_fir(jnp.asarray(x), w, taps, m,
+                          impl="pallas_interpret")
+        assert snr_db(ref, np.asarray(out)) > 120
+
+    def test_pallas_fallback_odd_blocks(self):
+        """Non-tileable B falls back to jnp silently and stays correct."""
+        x = _noise_int8((1, (7 + TAPS - 1) * M), seed=3)
+        w = pfb_window(TAPS, M)
+        ref = golden.pfb_fir(x, w, TAPS, M)
+        out = ops.pfb_fir(jnp.asarray(x), w, TAPS, M, impl="pallas_interpret")
+        assert snr_db(ref, np.asarray(out)) > 120
+
+    def test_float_input(self):
+        x = golden.gaussian_noise((8 + TAPS - 1) * M, seed=4).astype(np.float32)
+        w = pfb_window(TAPS, M)
+        ref = golden.pfb_fir(x, w, TAPS, M)
+        out = ops.pfb_fir(jnp.asarray(x), w, TAPS, M, impl="jnp")
+        assert snr_db(ref, np.asarray(out)) > 120
+
+
+class TestChannelize:
+    def test_matches_golden(self):
+        x = _noise_int8((4 + TAPS - 1) * M, seed=5)
+        w = pfb_window(TAPS, M)
+        fir = golden.pfb_fir(x, w, TAPS, M)
+        ref = golden.channelize(fir, N_CHANS)
+        out = ops.channelize(jnp.asarray(fir, jnp.float32), N_CHANS)
+        assert snr_db(ref, np.asarray(out)) > 100
+
+
+class TestPhase:
+    def test_matches_golden(self):
+        rng = np.random.default_rng(6)
+        s = (rng.normal(size=(2, 5, N_CHANS)) +
+             1j * rng.normal(size=(2, 5, N_CHANS)))
+        fd = rng.uniform(-0.5, 0.5, size=(2, 5))
+        ph = rng.uniform(-np.pi, np.pi, size=(2, 5))
+        ref = golden.fine_delay_fringe(s, fd, ph)
+        out = ops.fine_delay_fringe(jnp.asarray(s, jnp.complex64),
+                                    jnp.asarray(fd), jnp.asarray(ph))
+        assert snr_db(ref, np.asarray(out)) > 100
+
+
+class TestRequant:
+    def test_matches_golden(self):
+        rng = np.random.default_rng(7)
+        s = 60 * (rng.normal(size=(3, 4, N_CHANS)) +
+                  1j * rng.normal(size=(3, 4, N_CHANS)))
+        g = rng.uniform(0.5, 2.0, size=N_CHANS) * np.exp(
+            1j * rng.uniform(-np.pi, np.pi, size=N_CHANS))
+        ref = golden.requantize(s, g)
+        q = ops.requantize(jnp.asarray(s, jnp.complex64),
+                           jnp.asarray(g, jnp.complex64))
+        assert q.dtype == jnp.int8
+        out = np.asarray(ops.dequantize(q))
+        # rounding boundaries may differ by 1 LSB in fp32 vs fp64 on a
+        # measure-zero set; require SNR not bit-exactness
+        assert snr_db(ref, out) > 55
+
+    def test_dequant_roundtrip(self):
+        q = jnp.asarray(np.array([[3, -4], [127, -127]], np.int8))
+        np.testing.assert_array_equal(np.asarray(ops.dequantize(q)),
+                                      [3 - 4j, 127 - 127j])
+
+
+class TestCoarseDelay:
+    def test_matches_golden(self):
+        x = _noise_int8((2, 2, 200), seed=8)
+        d = np.array([[0, 5], [11, 16]])
+        ref = golden.apply_coarse_delay(x, d, 16)
+        out = coarse_delay(jnp.asarray(x), jnp.asarray(d), 16)
+        np.testing.assert_array_equal(ref, np.asarray(out))
+
+
+class TestXcorr:
+    def test_matches_golden(self):
+        n_ants, n_pols, nb = 4, 2, 10
+        rng = np.random.default_rng(9)
+        q_int = rng.integers(-100, 100, size=(n_ants, n_pols, nb, N_CHANS, 2))
+        x_cplx = q_int[..., 0] + 1j * q_int[..., 1]
+        ref = golden.xcorr(x_cplx)
+        q = jnp.asarray(np.moveaxis(q_int, 3, 0), jnp.int8)  # channel-major
+        v = np.asarray(ops.xcorr(q))  # (bl, pi, pj, k, 2) int32
+        out = v[..., 0] + 1j * v[..., 1]
+        np.testing.assert_array_equal(ref, out)  # int math: exact
+
+    def test_accumulation_across_chunks_adds(self):
+        rng = np.random.default_rng(10)
+        q_int = rng.integers(-50, 50, size=(2, 1, 8, 16, 2))
+        q = jnp.asarray(np.moveaxis(q_int, 3, 0), jnp.int8)
+        v_all = np.asarray(ops.xcorr(q))
+        v_sum = np.asarray(ops.xcorr(q[:, :, :, :4])) + \
+            np.asarray(ops.xcorr(q[:, :, :, 4:]))
+        np.testing.assert_array_equal(v_all, v_sum)
+
+
+class TestBeamform:
+    def test_matches_golden_complex_input(self):
+        rng = np.random.default_rng(11)
+        x = (rng.normal(size=(4, 2, 3, N_CHANS)) +
+             1j * rng.normal(size=(4, 2, 3, N_CHANS)))
+        w = (rng.normal(size=(3, 4, N_CHANS)) +
+             1j * rng.normal(size=(3, 4, N_CHANS)))
+        ref = golden.beamform(x, w)
+        out = ops.beamform(jnp.asarray(np_c2ri(x)), jnp.asarray(np_c2ri(w)))
+        assert snr_db(ref, np_ri2c(out)) > 100
+
+    def test_int8_input_path(self):
+        rng = np.random.default_rng(12)
+        q_int = rng.integers(-100, 100, size=(4, 2, 3, 32, 2))
+        w = (rng.normal(size=(2, 4, 32)) + 1j * rng.normal(size=(2, 4, 32)))
+        ref = golden.beamform(q_int[..., 0] + 1j * q_int[..., 1], w)
+        out = ops.beamform(jnp.asarray(q_int, jnp.int8), jnp.asarray(np_c2ri(w)))
+        assert snr_db(ref, np_ri2c(out)) > 100
+
+    def test_incoherent_matches_golden(self):
+        rng = np.random.default_rng(13)
+        q_int = rng.integers(-100, 100, size=(5, 2, 3, 16, 2))
+        ref = golden.incoherent_sum(q_int[..., 0] + 1j * q_int[..., 1])
+        out = ops.incoherent_sum(jnp.asarray(q_int, jnp.int8))
+        np.testing.assert_allclose(ref, np.asarray(out), rtol=1e-6)
+
+
+class TestFEngineEndToEnd:
+    """Config-1 semantics (BASELINE.json:7): full chain vs golden > 50 dB."""
+
+    def test_bare_pfb_cw_tone(self):
+        fs = 1712e6
+        k0 = 33
+        n = (8 + TAPS - 1) * M
+        x = golden.quantize_adc(golden.cw_tone(n, k0 * fs / M, fs, 90.0))
+        w = pfb_window(TAPS, M, "hann")
+        ref = golden.channelize(golden.pfb_fir(x, w, TAPS, M), N_CHANS)
+        out = jx_f_engine(jnp.asarray(x), w, TAPS, N_CHANS, impl="jnp")
+        assert snr_db(ref, np_ri2c(out)) > SNR_BOUND
+
+    def test_full_chain_with_all_stages(self):
+        rng = np.random.default_rng(14)
+        n = (6 + TAPS - 1) * M + 32
+        x = _noise_int8((2, 2, n), seed=15)
+        d = np.array([[0, 7], [13, 32]])
+        fd = rng.uniform(-0.5, 0.5, size=(2, 2, 6))
+        ph = rng.uniform(-np.pi, np.pi, size=(2, 2, 6))
+        g = np.full(N_CHANS, 0.05) * np.exp(
+            1j * rng.uniform(-np.pi, np.pi, size=N_CHANS))
+        w = pfb_window(TAPS, M)
+        ref = golden.f_engine(x, w, TAPS, N_CHANS, coarse_delays=d,
+                              max_delay=32, frac_delay=fd, phase=ph, gains=g)
+        out = jx_f_engine(jnp.asarray(x), w, TAPS, N_CHANS,
+                          coarse_delays=jnp.asarray(d), max_delay=32,
+                          frac_delay=jnp.asarray(fd), phase=jnp.asarray(ph),
+                          gains=jnp.asarray(np_c2ri(g)), impl="jnp")
+        assert snr_db(ref, np.asarray(ops.dequantize(out))) > SNR_BOUND
