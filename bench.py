@@ -1,0 +1,36 @@
+#!/usr/bin/env python
+"""Headline benchmark: prints ONE JSON line for the driver.
+
+Metric: channelized samples/s/chip of the full F-engine (PFB-FIR + FFT +
+fine-delay/fringe + 8-bit requant) on the local TPU chip — BASELINE.json:2
+primary metric 1.  ``vs_baseline`` is the ratio to the 13.7 Gsamp/s/chip
+real-time floor a v5e-16 needs for the 64-ant 856 MHz contract target
+(BASELINE.md derived table): >= 1.0 means this chip alone sustains its
+share of the full array in real time.
+"""
+
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from dc_sand_tpu.bench.pipelines import (bench_fengine,
+                                             REALTIME_FLOOR_PER_CHIP)
+
+    res = bench_fengine(n_streams=16, n_spectra=512, n_chans=1024,
+                        taps=16, impl="auto", full_chain=True)
+    res.save(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench", "results"))
+    print(json.dumps({
+        "metric": res.metric,
+        "value": res.value,
+        "unit": res.unit,
+        "vs_baseline": res.value / REALTIME_FLOOR_PER_CHIP,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Stage and pipeline benchmarks on the local chip (C18).
+
+The headline metric is BASELINE.json:2's "channelized samples/s/chip":
+real input samples consumed per second by the F-engine (PFB-FIR + FFT,
+plus delay/fringe/requant when enabled).  The real-time floor for the
+full 64-ant system on a v5e-16 is 13.7 Gsamp/s/chip (BASELINE.md derived
+table) — that is the ``vs_baseline`` denominator.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dc_sand_tpu.bench.harness import BenchResult, time_fn
+from dc_sand_tpu.models import f_engine
+from dc_sand_tpu.windows import pfb_window
+
+__all__ = ["bench_fengine", "REALTIME_FLOOR_PER_CHIP"]
+
+REALTIME_FLOOR_PER_CHIP = 13.7e9  # real samp/s/chip, BASELINE.md [D]
+
+
+def bench_fengine(n_streams: int = 16, n_spectra: int = 512,
+                  n_chans: int = 1024, taps: int = 16,
+                  impl: str = "auto", full_chain: bool = True,
+                  iters: int = 10) -> BenchResult:
+    """F-engine throughput on one chip.
+
+    ``full_chain=True`` adds fine-delay/fringe + requant (config-2 shape,
+    BASELINE.json:8); False is the bare PFB (config 1).
+    """
+    m = 2 * n_chans
+    n_frames = n_spectra + taps - 1
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-100, 100, size=(n_streams, n_frames * m),
+                                 dtype=np.int8))
+    w = pfb_window(taps, m)
+    # All arrays are explicit jit args: a closed-over array is baked into
+    # the program as a constant, and this backend's compiler constant-folds
+    # giant transcendentals (cos of the whole phase table) — a multi-minute
+    # compile hang (verified empirically).
+    if full_chain:
+        gains = jnp.asarray(
+            np.stack([np.full((n_chans,), 0.05, np.float32),
+                      np.zeros((n_chans,), np.float32)], axis=-1))
+        fd = jnp.asarray(rng.uniform(-0.5, 0.5,
+                                     size=(n_streams, n_spectra)),
+                         dtype=jnp.float32)
+        ph = jnp.zeros((n_streams, n_spectra), jnp.float32)
+
+        @jax.jit
+        def step(xx, fd_, ph_, g_):
+            return f_engine(xx, w, taps, n_chans, frac_delay=fd_, phase=ph_,
+                            gains=g_, impl=impl)
+
+        args = (x, fd, ph, gains)
+    else:
+        @jax.jit
+        def step(xx):
+            return f_engine(xx, w, taps, n_chans, impl=impl)
+
+        args = (x,)
+
+    wall = time_fn(step, *args, warmup=3, iters=iters)
+    samples = n_streams * n_spectra * m  # new samples consumed per call
+    rate = samples / wall
+    # HBM bytes: int8 in (counted once - the kernel design reads each byte
+    # once) + output (int8 x2 quantised, or fp32 x2 unquantised).
+    out_bytes = n_streams * n_spectra * n_chans * (2 if full_chain else 8)
+    bytes_moved = samples * 1 + out_bytes
+    return BenchResult(
+        name=f"fengine_{'full' if full_chain else 'pfb'}_{impl}",
+        metric="channelized samples/s/chip", value=rate, unit="samp/s",
+        wall_s=wall, bytes_moved=bytes_moved,
+        extra={"n_streams": n_streams, "n_spectra": n_spectra,
+               "n_chans": n_chans, "taps": taps, "impl": impl,
+               "vs_realtime_floor": rate / REALTIME_FLOOR_PER_CHIP},
+    ).finish()
