@@ -1,0 +1,50 @@
+"""Device-mesh construction (C13).
+
+One logical axis ``fx`` covers the standard deployment: antenna-sharded
+F-engines before the corner-turn, channel-sharded X/B-engines after — the
+same chips play both roles (colocated F/X, SURVEY.md §2.3 PP row).  An
+optional ``time`` axis enables stream (sequence-parallel) sharding with
+halo exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh
+
+FX_AXIS = "fx"
+TIME_AXIS = "time"
+
+__all__ = ["build_mesh", "FX_AXIS", "TIME_AXIS"]
+
+
+def build_mesh(n_devices: Optional[int] = None,
+               devices: Optional[Sequence] = None,
+               time_shards: int = 1) -> Mesh:
+    """Build a ``(time, fx)`` mesh over the given devices.
+
+    ``time_shards=1`` (default) gives the pure FX layout; >1 additionally
+    shards the sample stream (halo exchange becomes active).  On a real
+    pod slice, callers pass ``jax.devices()`` after
+    ``jax.distributed.initialize()`` and XLA maps the axes onto ICI/DCN.
+    """
+    if devices is None:
+        # honour a pinned jax_default_device (tests pin cpu on the axon
+        # dev box, where jax.devices() would return the tunnelled TPU)
+        pinned = jax.config.jax_default_device
+        if pinned is not None:
+            platform = pinned if isinstance(pinned, str) else pinned.platform
+            devices = jax.devices(platform)
+        else:
+            devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % time_shards:
+        raise ValueError(f"{n} devices not divisible by {time_shards} "
+                         "time shards")
+    import numpy as np
+    arr = np.asarray(devices).reshape(time_shards, n // time_shards)
+    return Mesh(arr, (TIME_AXIS, FX_AXIS))

@@ -1,0 +1,148 @@
+"""Sharded-semantics level (SURVEY.md §4.2): halo exchange, corner-turn
+all-to-all and the full sharded FX pipeline on a simulated 8-device CPU
+mesh must equal the unsharded golden computation."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from dc_sand_tpu import golden, ops
+from dc_sand_tpu.parallel import (build_mesh, FX_AXIS, TIME_AXIS,
+                                  corner_turn_all_to_all,
+                                  halo_exchange_left)
+from dc_sand_tpu.models.fx import (fx_step_local, make_sharded_fx_step,
+                                   make_time_sharded_fengine)
+from dc_sand_tpu.windows import pfb_window
+from dc_sand_tpu.utils import snr_db, np_c2ri, np_ri2c
+
+try:
+    from jax import shard_map as shard_map_fn
+except ImportError:
+    from jax.experimental.shard_map import shard_map as shard_map_fn
+
+N_CHANS = 128
+M = 2 * N_CHANS
+TAPS = 4
+
+
+def _noise_int8(shape, seed=0, sigma=20.0):
+    return golden.quantize_adc(golden.gaussian_noise(shape, sigma, seed))
+
+
+class TestHalo:
+    def test_halo_matches_neighbor_tail(self):
+        mesh = build_mesh(n_devices=4, time_shards=4)
+        t_local = 32
+        x = jnp.arange(4 * t_local, dtype=jnp.float32).reshape(1, -1)
+
+        fn = jax.jit(shard_map_fn(
+            lambda xl: halo_exchange_left(xl, 8, TIME_AXIS),
+            mesh=mesh, in_specs=(P(None, TIME_AXIS),),
+            out_specs=P(None, TIME_AXIS)))
+        out = np.asarray(fn(x)).reshape(4, -1)  # (shard, 8 + t_local)
+        xs = np.asarray(x).reshape(4, t_local)
+        np.testing.assert_array_equal(out[0, :8], 0.0)  # cold start
+        for i in range(1, 4):
+            np.testing.assert_array_equal(out[i, :8], xs[i - 1, -8:])
+            np.testing.assert_array_equal(out[i, 8:], xs[i])
+
+
+class TestCornerTurn:
+    def test_all_to_all_is_transpose(self):
+        d = 4
+        mesh = build_mesh(n_devices=d)
+        a, pol, b, k = 8, 2, 3, 64
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.integers(-100, 100, (a, pol, b, k, 2)), jnp.int8)
+
+        fn = jax.jit(shard_map_fn(
+            lambda ql: corner_turn_all_to_all(ql, FX_AXIS),
+            mesh=mesh, in_specs=(P(FX_AXIS),),
+            out_specs=P(None, None, None, FX_AXIS)))
+        out = np.asarray(fn(q))
+        # logically the identity on the global array (pure re-shard)
+        np.testing.assert_array_equal(out, np.asarray(q))
+        # and the device-local blocks are channel-major slices
+        shards = [np.asarray(s.data) for s in fn(q).addressable_shards]
+        assert shards[0].shape == (a, pol, b, k // d, 2)
+
+
+class TestShardedFX:
+    def test_matches_golden_full_chain(self):
+        d = 4
+        mesh = build_mesh(n_devices=d)
+        n_ants, n_pols, nb = 8, 2, 8
+        n = (nb + TAPS - 1) * M + 16
+        rng = np.random.default_rng(1)
+        x = _noise_int8((n_ants, n_pols, n), seed=2)
+        cd = rng.integers(0, 16, (n_ants, n_pols))
+        fd = rng.uniform(-0.5, 0.5, (n_ants, n_pols, nb))
+        ph = rng.uniform(-np.pi, np.pi, (n_ants, n_pols, nb))
+        g = np.full(N_CHANS, 0.05) * np.exp(
+            1j * rng.uniform(-np.pi, np.pi, N_CHANS))
+        w = pfb_window(TAPS, M)
+
+        spec_g = golden.f_engine(x, w, TAPS, N_CHANS, coarse_delays=cd,
+                                 max_delay=16, frac_delay=fd, phase=ph,
+                                 gains=g)
+        vis_g = golden.xcorr(spec_g)
+
+        step = make_sharded_fx_step(mesh, w, TAPS, N_CHANS, n_ants,
+                                    impl="jnp", max_delay=16)
+        vis = np.asarray(step(jnp.asarray(x), jnp.asarray(fd, jnp.float32),
+                              jnp.asarray(ph, jnp.float32),
+                              jnp.asarray(np_c2ri(g)),
+                              jnp.asarray(cd, jnp.int32)))
+        vis_c = vis[..., 0] + 1j * vis[..., 1]
+        assert vis_c.shape == vis_g.shape
+        # requant rounding can differ by 1 LSB fp32-vs-fp64 on boundary
+        # values; SNR is the contract metric (BASELINE.json:5)
+        assert snr_db(vis_g, vis_c) > 50
+
+    def test_sharded_equals_local(self):
+        """Bitwise: sharded pipeline == same pipeline on one device."""
+        d = 4
+        mesh = build_mesh(n_devices=d)
+        n_ants, n_pols, nb = 8, 1, 8
+        n = (nb + TAPS - 1) * M
+        x = _noise_int8((n_ants, n_pols, n), seed=3)
+        w = pfb_window(TAPS, M)
+        gains = np.zeros((N_CHANS, 2), np.float32)
+        gains[:, 0] = 0.05
+        fd = np.zeros((n_ants, n_pols, nb), np.float32)
+        ph = np.zeros((n_ants, n_pols, nb), np.float32)
+        cd = np.zeros((n_ants, n_pols), np.int32)
+
+        local = fx_step_local(jnp.asarray(x), w, TAPS, N_CHANS,
+                              frac_delay=jnp.asarray(fd),
+                              phase=jnp.asarray(ph),
+                              gains=jnp.asarray(gains), impl="jnp")
+        step = make_sharded_fx_step(mesh, w, TAPS, N_CHANS, n_ants,
+                                    impl="jnp")
+        sharded = step(jnp.asarray(x), jnp.asarray(fd), jnp.asarray(ph),
+                       jnp.asarray(gains), jnp.asarray(cd))
+        np.testing.assert_array_equal(np.asarray(local),
+                                      np.asarray(sharded))
+
+
+class TestTimeShardedFEngine:
+    def test_matches_unsharded_with_cold_start(self):
+        d = 4
+        mesh = build_mesh(n_devices=d, time_shards=d)
+        n_ants, n_pols = 2, 1
+        b_local = 4
+        t_local = b_local * M
+        x = _noise_int8((n_ants, n_pols, d * t_local), seed=4)
+        w = pfb_window(TAPS, M)
+
+        fe = make_time_sharded_fengine(mesh, w, TAPS, N_CHANS, impl="jnp")
+        out = np_ri2c(np.asarray(fe(jnp.asarray(x))))
+
+        # golden equivalent: zero lead-in of (taps-1)*M (stream cold start)
+        lead = np.zeros((n_ants, n_pols, (TAPS - 1) * M))
+        xg = np.concatenate([lead, x], axis=-1)
+        ref = golden.channelize(golden.pfb_fir(xg, w, TAPS, M), N_CHANS)
+        assert out.shape == ref.shape
+        assert snr_db(ref, out) > 100
