@@ -1,0 +1,188 @@
+// Native ingest: packet reassembly + sample unpacking for the F-engine.
+//
+// TPU-native analog of the reference's C++ transport/ingest tier (dc_sand
+// ships spead2/GPUDirect C++ ingest experiments; SURVEY.md §2.1 "Transport
+// experiments").  The TPU compute path is JAX/Pallas; everything in front
+// of the device boundary — receiving timestamped per-antenna packets,
+// unpacking the digitiser's 10-bit samples to int8, scattering payloads
+// into (ant, pol, time) chunk buffers, and handing full chunks to the
+// Python runner — is plain latency-sensitive host work and lives here.
+//
+// Design:
+//  * A fixed ring of chunk slots, each an (n_ants, n_pols, chunk_samples)
+//    int8 buffer plus a fill counter.
+//  * ingest_submit() scatters one packet into the right slot(s) by
+//    timestamp; packets may arrive out of order within the ring's
+//    time window; late packets (older than the ring tail) are dropped
+//    and counted.
+//  * ingest_retire() hands the oldest chunk to the caller when it is
+//    complete (or on demand, flushing with zero-fill), advancing the
+//    window — the F-engine never blocks on a lost packet, matching
+//    streaming-correlator semantics (SURVEY.md §5: drops are counted,
+//    never awaited).
+//  * unpack_10bit(): the MeerKAT digitiser emits 10-bit big-endian
+//    packed samples; unpack to int8 by dropping the 2 LSBs (documented
+//    contract: int8 stages, BASELINE.json:5).
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <vector>
+
+namespace {
+
+struct ChunkSlot {
+  std::vector<int8_t> data;     // (A * P * C) int8
+  uint64_t start_sample = 0;    // absolute sample index of data[..., 0]
+  uint64_t filled_bytes = 0;
+  bool in_window = false;
+};
+
+struct Ingest {
+  int n_ants, n_pols;
+  uint64_t chunk_samples;
+  int n_slots;
+  std::vector<ChunkSlot> slots;
+  uint64_t window_tail_chunk = 0;  // oldest chunk index in the window
+  std::atomic<uint64_t> packets_ok{0}, packets_late{0}, packets_bad{0};
+  std::mutex mu;
+
+  uint64_t chunk_bytes() const {
+    return uint64_t(n_ants) * n_pols * chunk_samples;
+  }
+  ChunkSlot& slot_for(uint64_t chunk_idx) {
+    return slots[chunk_idx % n_slots];
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// Sample-format unpacking
+// ---------------------------------------------------------------------
+
+// Unpack n 10-bit big-endian packed samples (5 bytes per 4 samples) to
+// int8 by arithmetic shift (drop 2 LSBs).  `n` must be a multiple of 4;
+// src must hold n * 10 / 8 bytes.
+void unpack_10bit(const uint8_t* src, int8_t* dst, uint64_t n) {
+  for (uint64_t g = 0; g < n / 4; ++g) {
+    const uint8_t* p = src + g * 5;
+    // 40 bits -> four 10-bit two's-complement samples
+    uint64_t bits = (uint64_t(p[0]) << 32) | (uint64_t(p[1]) << 24) |
+                    (uint64_t(p[2]) << 16) | (uint64_t(p[3]) << 8) |
+                    uint64_t(p[4]);
+    for (int i = 0; i < 4; ++i) {
+      int16_t s10 = int16_t((bits >> (30 - 10 * i)) & 0x3FF);
+      if (s10 & 0x200) s10 -= 0x400;  // sign-extend 10 bits
+      dst[g * 4 + i] = int8_t(s10 >> 2);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------
+// Chunk assembler
+// ---------------------------------------------------------------------
+
+void* ingest_create(int n_ants, int n_pols, uint64_t chunk_samples,
+                    int n_slots) {
+  auto* ig = new Ingest;
+  ig->n_ants = n_ants;
+  ig->n_pols = n_pols;
+  ig->chunk_samples = chunk_samples;
+  ig->n_slots = n_slots;
+  ig->slots.resize(n_slots);
+  for (auto& s : ig->slots) s.data.assign(ig->chunk_bytes(), 0);
+  return ig;
+}
+
+void ingest_destroy(void* h) { delete static_cast<Ingest*>(h); }
+
+// Scatter one packet: `n_samples` contiguous samples of (ant, pol)
+// starting at absolute sample index `timestamp`.  format: 0 = int8
+// payload, 1 = 10-bit packed payload.  Returns 0 ok, -1 late-drop,
+// -2 bad args, -3 too far in the future (outside the ring window).
+int ingest_submit(void* h, int ant, int pol, uint64_t timestamp,
+                  const uint8_t* payload, uint64_t n_samples, int format) {
+  auto* ig = static_cast<Ingest*>(h);
+  if (ant < 0 || ant >= ig->n_ants || pol < 0 || pol >= ig->n_pols ||
+      n_samples == 0) {
+    ig->packets_bad++;
+    return -2;
+  }
+  std::lock_guard<std::mutex> lock(ig->mu);
+  uint64_t first_chunk = timestamp / ig->chunk_samples;
+  uint64_t last_chunk = (timestamp + n_samples - 1) / ig->chunk_samples;
+  if (last_chunk < ig->window_tail_chunk) {
+    ig->packets_late++;
+    return -1;
+  }
+  if (first_chunk >= ig->window_tail_chunk + ig->n_slots) {
+    ig->packets_bad++;
+    return -3;  // caller must retire chunks first
+  }
+  std::vector<int8_t> unpacked;
+  const int8_t* samples;
+  if (format == 1) {
+    unpacked.resize(n_samples);
+    unpack_10bit(payload, unpacked.data(), n_samples);
+    samples = unpacked.data();
+  } else {
+    samples = reinterpret_cast<const int8_t*>(payload);
+  }
+  for (uint64_t c = std::max(first_chunk, ig->window_tail_chunk);
+       c <= last_chunk && c < ig->window_tail_chunk + ig->n_slots; ++c) {
+    ChunkSlot& slot = ig->slot_for(c);
+    if (!slot.in_window) {
+      slot.start_sample = c * ig->chunk_samples;
+      slot.filled_bytes = 0;
+      slot.in_window = true;
+      std::memset(slot.data.data(), 0, slot.data.size());
+    }
+    uint64_t c0 = c * ig->chunk_samples, c1 = c0 + ig->chunk_samples;
+    uint64_t s0 = std::max(timestamp, c0);
+    uint64_t s1 = std::min(timestamp + n_samples, c1);
+    uint64_t off = (uint64_t(ant) * ig->n_pols + pol) * ig->chunk_samples +
+                   (s0 - c0);
+    std::memcpy(slot.data.data() + off, samples + (s0 - timestamp),
+                s1 - s0);
+    slot.filled_bytes += s1 - s0;
+  }
+  ig->packets_ok++;
+  return 0;
+}
+
+// Retire the oldest chunk into `out` (chunk_bytes).  Returns fill
+// fraction in ppm (1e6 = complete) or -1 if the window is empty and
+// `force` is 0.  With force=1 an untouched window slot retires as
+// zeros (a wholly-lost chunk).
+long long ingest_retire(void* h, int8_t* out, int force) {
+  auto* ig = static_cast<Ingest*>(h);
+  std::lock_guard<std::mutex> lock(ig->mu);
+  ChunkSlot& slot = ig->slot_for(ig->window_tail_chunk);
+  if (!slot.in_window && !force) return -1;
+  if (!slot.in_window) {
+    std::memset(out, 0, ig->chunk_bytes());
+    ig->window_tail_chunk++;
+    return 0;
+  }
+  std::memcpy(out, slot.data.data(), ig->chunk_bytes());
+  long long fill =
+      (long long)(slot.filled_bytes * 1000000ULL / ig->chunk_bytes());
+  slot.in_window = false;
+  ig->window_tail_chunk++;
+  return fill;
+}
+
+void ingest_stats(void* h, uint64_t* ok, uint64_t* late, uint64_t* bad) {
+  auto* ig = static_cast<Ingest*>(h);
+  *ok = ig->packets_ok.load();
+  *late = ig->packets_late.load();
+  *bad = ig->packets_bad.load();
+}
+
+}  // extern "C"

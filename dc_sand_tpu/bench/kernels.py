@@ -1,0 +1,78 @@
+"""Per-kernel benchmarks: X-engine CMAC, beamformer, corner-turn local
+reorder, PFB stages (C18).
+
+Reports both HBM-roofline fraction and, for the MXU kernels, achieved
+compute rate vs the chip's int8/fp32 peak — the dc_sand idiom of "timing
+scripts compared against rooflines" (SURVEY.md §4.1), measured not
+eyeballed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dc_sand_tpu import ops
+from dc_sand_tpu.bench.harness import BenchResult, time_fn
+from dc_sand_tpu.golden.chain import baseline_pairs
+
+__all__ = ["bench_xcorr", "bench_beamform"]
+
+
+def bench_xcorr(n_ants: int = 64, n_pols: int = 2, n_chans: int = 4096,
+                n_spectra: int = 256, iters: int = 10) -> BenchResult:
+    """X-engine CMAC throughput: baselines/s and CMAC/s on the int8 MXU
+    path (BASELINE.json:2 primary metric 2)."""
+    ap = n_ants * n_pols
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(-100, 100,
+                                 (n_chans, n_ants, n_pols, n_spectra, 2),
+                                 dtype=np.int8))
+    fn = jax.jit(ops.xcorr)
+    wall = time_fn(fn, q, warmup=3, iters=iters)
+    n_bl = len(baseline_pairs(n_ants))
+    # complex MACs: full ap x ap matrix per channel per spectrum (the
+    # computation actually performed; the triangle is what's kept)
+    cmacs = n_chans * ap * ap * n_spectra
+    kept_cmacs = n_chans * n_bl * 4 * n_spectra
+    in_bytes = q.size
+    out_bytes = n_bl * n_pols * n_pols * n_chans * 2 * 4
+    return BenchResult(
+        name="xcorr_cmac",
+        metric="correlator baselines/s",
+        value=n_bl * n_chans * n_spectra / wall,
+        unit="baseline-chan-spectra/s", wall_s=wall,
+        bytes_moved=in_bytes + out_bytes,
+        extra={"cmac_per_s": cmacs / wall,
+               "kept_cmac_per_s": kept_cmacs / wall,
+               "int8_tops": 8 * cmacs / wall / 1e12,
+               "n_ants": n_ants, "n_chans": n_chans,
+               "n_spectra": n_spectra},
+    ).finish()
+
+
+def bench_beamform(n_beams: int = 16, n_ants: int = 64, n_pols: int = 2,
+                   n_chans: int = 4096, n_spectra: int = 64,
+                   iters: int = 10) -> BenchResult:
+    """Coherent beamformer throughput (C10)."""
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(-100, 100,
+                                 (n_ants, n_pols, n_spectra, n_chans, 2),
+                                 dtype=np.int8))
+    w = jnp.asarray(rng.normal(size=(n_beams, n_ants, n_chans, 2))
+                    .astype(np.float32))
+    fn = jax.jit(ops.beamform)
+    wall = time_fn(fn, q, w, warmup=3, iters=iters)
+    flops = 4 * 2 * n_beams * n_ants * n_pols * n_spectra * n_chans
+    in_bytes = q.size + w.size * 4
+    out_bytes = n_beams * n_pols * n_spectra * n_chans * 2 * 4
+    return BenchResult(
+        name="beamform",
+        metric="beamformed samples/s",
+        value=n_beams * n_pols * n_spectra * n_chans / wall,
+        unit="beam-samples/s", wall_s=wall,
+        bytes_moved=in_bytes + out_bytes,
+        extra={"fp32_gflops": flops / wall / 1e9, "n_beams": n_beams,
+               "n_ants": n_ants, "n_chans": n_chans},
+    ).finish()

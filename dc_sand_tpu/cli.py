@@ -93,11 +93,28 @@ def cmd_run(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    from dc_sand_tpu.bench.pipelines import bench_fengine
-    res = bench_fengine(impl=args.impl, full_chain=(args.target != "pfb"),
-                        n_chans=args.scale or 1024)
-    print(res.to_json())
-    res.save()
+    results = []
+    if args.target in ("fengine", "pfb"):
+        from dc_sand_tpu.bench.pipelines import bench_fengine
+        results.append(bench_fengine(impl=args.impl,
+                                     full_chain=(args.target != "pfb"),
+                                     n_chans=args.scale or 1024))
+    elif args.target == "xcorr":
+        from dc_sand_tpu.bench.kernels import bench_xcorr
+        results.append(bench_xcorr(n_chans=args.scale or 4096))
+    elif args.target == "beamform":
+        from dc_sand_tpu.bench.kernels import bench_beamform
+        results.append(bench_beamform(n_chans=args.scale or 4096))
+    elif args.target == "collectives":
+        from dc_sand_tpu.bench.collectives import (bench_collective,
+                                                   COLLECTIVES)
+        from dc_sand_tpu.parallel import build_mesh
+        mesh = build_mesh(n_devices=args.mesh or None)
+        for op in COLLECTIVES:
+            results.append(bench_collective(op, mesh))
+    for res in results:
+        print(res.to_json())
+        res.save()
     return 0
 
 
@@ -135,7 +152,8 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="benchmark on the local chip")
     pb.add_argument("target", nargs="?", default="fengine",
-                    choices=["fengine", "pfb"])
+                    choices=["fengine", "pfb", "xcorr", "beamform",
+                             "collectives"])
     _add_common(pb)
     pb.set_defaults(fn=cmd_bench)
 

@@ -1,0 +1,124 @@
+"""ctypes wrapper for the native ingest library (csrc/ingest.cpp).
+
+Packet reassembly + 10-bit unpack in C++ (the reference's ingest tier is
+C++ spead2/GPUDirect experiments); this wrapper exposes it as a chunk
+``source`` for :class:`dc_sand_tpu.runtime.FXRunner`.  The library builds
+on demand with ``make`` on first use.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["NativeIngest", "load_library", "unpack_10bit"]
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "csrc")
+_LIB: Optional[ctypes.CDLL] = None
+
+
+def load_library() -> ctypes.CDLL:
+    """Load (building if needed) libingest.so."""
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so = os.path.join(_CSRC, "libingest.so")
+    src = os.path.join(_CSRC, "ingest.cpp")
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
+        subprocess.run(["make", "-C", _CSRC], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(so)
+    lib.ingest_create.restype = ctypes.c_void_p
+    lib.ingest_create.argtypes = [ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_uint64, ctypes.c_int]
+    lib.ingest_destroy.argtypes = [ctypes.c_void_p]
+    lib.ingest_submit.restype = ctypes.c_int
+    lib.ingest_submit.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int]
+    lib.ingest_retire.restype = ctypes.c_longlong
+    lib.ingest_retire.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_int8),
+                                  ctypes.c_int]
+    lib.ingest_stats.argtypes = [ctypes.c_void_p] + \
+        [ctypes.POINTER(ctypes.c_uint64)] * 3
+    lib.unpack_10bit.argtypes = [ctypes.c_char_p,
+                                 ctypes.POINTER(ctypes.c_int8),
+                                 ctypes.c_uint64]
+    _LIB = lib
+    return lib
+
+
+def unpack_10bit(packed: bytes, n_samples: int) -> np.ndarray:
+    """Unpack 10-bit big-endian samples to int8 (drops 2 LSBs)."""
+    lib = load_library()
+    out = np.empty(n_samples, np.int8)
+    lib.unpack_10bit(packed,
+                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                     n_samples)
+    return out
+
+
+class NativeIngest:
+    """Chunk assembler: submit timestamped packets, retire (A,P,C) chunks.
+
+    Usage as a runner source::
+
+        ing = NativeIngest(cfg.n_ants, cfg.n_pols, cfg.chunk_samples)
+        ... feed packets (e.g. from a socket thread) via ing.submit(...)
+        runner.run(lambda i: ing.retire(force=True)[0], n_chunks)
+    """
+
+    FORMAT_INT8 = 0
+    FORMAT_10BIT = 1
+
+    def __init__(self, n_ants: int, n_pols: int, chunk_samples: int,
+                 n_slots: int = 4):
+        self._lib = load_library()
+        self._shape = (n_ants, n_pols, chunk_samples)
+        self._h = ctypes.c_void_p(self._lib.ingest_create(
+            n_ants, n_pols, chunk_samples, n_slots))
+
+    def submit(self, ant: int, pol: int, timestamp: int,
+               payload: bytes, n_samples: Optional[int] = None,
+               fmt: int = FORMAT_INT8) -> int:
+        if n_samples is None:
+            if fmt == self.FORMAT_10BIT:
+                n_samples = len(payload) * 8 // 10
+            else:
+                n_samples = len(payload)
+        return self._lib.ingest_submit(self._h, ant, pol, timestamp,
+                                       payload, n_samples, fmt)
+
+    def retire(self, force: bool = False):
+        """-> (chunk int8 (A,P,C) or None, fill_fraction)."""
+        out = np.empty(self._shape, np.int8)
+        r = self._lib.ingest_retire(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            1 if force else 0)
+        if r < 0:
+            return None, 0.0
+        return out, r / 1e6
+
+    def stats(self):
+        ok = ctypes.c_uint64()
+        late = ctypes.c_uint64()
+        bad = ctypes.c_uint64()
+        self._lib.ingest_stats(self._h, ctypes.byref(ok),
+                               ctypes.byref(late), ctypes.byref(bad))
+        return {"packets_ok": ok.value, "packets_late": late.value,
+                "packets_bad": bad.value}
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.ingest_destroy(self._h)
+                self._h = None
+        except Exception:
+            pass

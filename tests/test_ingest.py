@@ -1,0 +1,134 @@
+"""Native ingest library (csrc/ingest.cpp): packet reassembly, 10-bit
+unpack, out-of-order & late-packet semantics — vs NumPy references."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ toolchain")
+
+from dc_sand_tpu.runtime.ingest import NativeIngest, unpack_10bit  # noqa: E402
+
+
+def _pack_10bit(samples10: np.ndarray) -> bytes:
+    """NumPy reference packer: 4 samples -> 5 bytes, big-endian."""
+    assert len(samples10) % 4 == 0
+    out = bytearray()
+    for g in range(len(samples10) // 4):
+        bits = 0
+        for i in range(4):
+            bits = (bits << 10) | (int(samples10[g * 4 + i]) & 0x3FF)
+        out += bits.to_bytes(5, "big")
+    return bytes(out)
+
+
+class TestUnpack10:
+    def test_roundtrip_drops_lsbs(self):
+        rng = np.random.default_rng(0)
+        s10 = rng.integers(-512, 512, size=64)
+        got = unpack_10bit(_pack_10bit(s10), 64)
+        np.testing.assert_array_equal(got, (s10 >> 2).astype(np.int8))
+
+    def test_extremes(self):
+        s10 = np.array([511, -512, 0, -1])
+        got = unpack_10bit(_pack_10bit(s10), 4)
+        np.testing.assert_array_equal(got, [127, -128, 0, -1])
+
+
+class TestAssembler:
+    def test_in_order_assembly(self):
+        a, p, c = 2, 2, 64
+        ing = NativeIngest(a, p, c)
+        rng = np.random.default_rng(1)
+        ref = rng.integers(-100, 100, (a, p, c), dtype=np.int8)
+        for i in range(a):
+            for j in range(p):
+                assert ing.submit(i, j, 0, ref[i, j].tobytes()) == 0
+        chunk, fill = ing.retire()
+        assert fill == 1.0
+        np.testing.assert_array_equal(chunk, ref)
+
+    def test_out_of_order_and_split_packets(self):
+        a, p, c = 1, 1, 128
+        ing = NativeIngest(a, p, c)
+        ref = np.arange(-64, 64, dtype=np.int8)
+        # second half first, then first half; packet straddles nothing
+        assert ing.submit(0, 0, 64, ref[64:].tobytes()) == 0
+        assert ing.submit(0, 0, 0, ref[:64].tobytes()) == 0
+        chunk, fill = ing.retire()
+        assert fill == 1.0
+        np.testing.assert_array_equal(chunk[0, 0], ref)
+
+    def test_packet_straddles_chunks(self):
+        a, p, c = 1, 1, 32
+        ing = NativeIngest(a, p, c, n_slots=4)
+        payload = np.arange(48, dtype=np.int8)
+        assert ing.submit(0, 0, 16, payload.tobytes()) == 0
+        chunk0, fill0 = ing.retire(force=True)
+        chunk1, fill1 = ing.retire(force=True)
+        np.testing.assert_array_equal(chunk0[0, 0, 16:], payload[:16])
+        np.testing.assert_array_equal(chunk0[0, 0, :16], 0)
+        np.testing.assert_array_equal(chunk1[0, 0, :32], payload[16:])
+        assert fill0 == 0.5 and fill1 == 1.0
+
+    def test_late_packet_dropped_and_counted(self):
+        ing = NativeIngest(1, 1, 32, n_slots=2)
+        ing.submit(0, 0, 0, bytes(32))
+        ing.retire()
+        assert ing.submit(0, 0, 0, bytes(32)) == -1  # behind the window
+        assert ing.stats()["packets_late"] == 1
+
+    def test_too_far_future_rejected(self):
+        ing = NativeIngest(1, 1, 32, n_slots=2)
+        assert ing.submit(0, 0, 32 * 10, bytes(32)) == -3
+
+    def test_lost_chunk_retires_as_zeros(self):
+        ing = NativeIngest(1, 1, 16, n_slots=2)
+        none_chunk, _ = ing.retire()
+        assert none_chunk is None
+        chunk, fill = ing.retire(force=True)
+        assert fill == 0.0
+        np.testing.assert_array_equal(chunk, 0)
+
+    def test_10bit_packets(self):
+        a, p, c = 1, 1, 64
+        ing = NativeIngest(a, p, c)
+        rng = np.random.default_rng(2)
+        s10 = rng.integers(-512, 512, size=c)
+        ing.submit(0, 0, 0, _pack_10bit(s10), fmt=NativeIngest.FORMAT_10BIT)
+        chunk, fill = ing.retire()
+        assert fill == 1.0
+        np.testing.assert_array_equal(chunk[0, 0],
+                                      (s10 >> 2).astype(np.int8))
+
+    def test_feeds_runner_source(self):
+        """End-to-end: native chunks drive the FXRunner."""
+        from dc_sand_tpu.config import ChainConfig
+        from dc_sand_tpu.runtime import FXRunner
+        from dc_sand_tpu.windows import pfb_window
+        cfg = ChainConfig(name="t", n_ants=2, n_pols=1, n_chans=32,
+                          n_taps=4, spectra_per_chunk=4,
+                          n_spectra_per_acc=4, run_xengine=True,
+                          apply_requant=True)
+        ing = NativeIngest(cfg.n_ants, cfg.n_pols, cfg.chunk_samples)
+        rng = np.random.default_rng(3)
+        n_chunks = 2
+        data = rng.integers(-100, 100,
+                            (cfg.n_ants, 1, n_chunks * cfg.chunk_samples),
+                            dtype=np.int8)
+
+        def source(i):
+            for ant in range(cfg.n_ants):
+                ing.submit(ant, 0, i * cfg.chunk_samples,
+                           data[ant, 0, i * cfg.chunk_samples:
+                                (i + 1) * cfg.chunk_samples].tobytes())
+            chunk, fill = ing.retire(force=True)
+            assert fill == 1.0
+            return chunk
+
+        runner = FXRunner(cfg, pfb_window(4, 64), impl="jnp")
+        dumps, counters = runner.run(source, n_chunks)
+        assert counters.dumps == n_chunks
+        assert np.any(dumps[0].vis != 0)
