@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from dc_sand_tpu.bench.harness import BenchResult, time_fn
+from dc_sand_tpu.bench.harness import BenchResult, time_throughput
 from dc_sand_tpu.parallel import FX_AXIS
 
 try:
@@ -35,7 +35,7 @@ COLLECTIVES = ("all_to_all", "ppermute", "psum", "all_gather")
 
 
 def bench_collective(op: str, mesh, *, mb_per_chip: float = 16.0,
-                     iters: int = 10) -> BenchResult:
+                     iters: int = 32) -> BenchResult:
     """Measure achieved per-chip bandwidth of one collective over
     ``mesh``'s fx axis.  Bytes accounting is the wire traffic per chip
     (payload leaving/entering each chip), not the array size."""
@@ -67,12 +67,11 @@ def bench_collective(op: str, mesh, *, mb_per_chip: float = 16.0,
         raise ValueError(f"unknown collective {op!r}; "
                          f"available: {COLLECTIVES}")
 
-    sharded = jax.jit(_shard_map(fn, mesh=mesh, in_specs=P(FX_AXIS),
-                                 out_specs=P(FX_AXIS) if op != "psum"
-                                 else P()))
+    sharded = _shard_map(fn, mesh=mesh, in_specs=P(FX_AXIS),
+                         out_specs=P(FX_AXIS) if op != "psum" else P())
     with jax.default_device(mesh.devices.flat[0]):
         x = jnp.zeros((n_rows * d, 1024), jnp.float32)
-    wall = time_fn(sharded, x, warmup=2, iters=iters)
+    wall = time_throughput(sharded, (x,), iters=iters)
     return BenchResult(
         name=f"collective_{op}_{d}dev",
         metric=f"{op} per-chip bandwidth", value=wire / wall / 1e9,

@@ -18,7 +18,8 @@ from typing import Callable, Optional
 
 import jax
 
-__all__ = ["time_fn", "BenchResult", "HBM_BW_BY_CHIP", "detect_chip"]
+__all__ = ["time_fn", "time_throughput", "BenchResult", "HBM_BW_BY_CHIP",
+           "detect_chip"]
 
 # Peak HBM bandwidth per chip, GB/s (public spec sheets).
 HBM_BW_BY_CHIP = {
@@ -45,7 +46,12 @@ def detect_chip() -> str:
 
 
 def time_fn(fn: Callable, *args, warmup: int = 3, iters: int = 10) -> float:
-    """Median wall seconds per call of a jitted fn, donated args untouched."""
+    """Median wall seconds per call of a jitted fn, donated args untouched.
+
+    WARNING: on the axon-tunnelled backend repeated identical dispatches
+    are served from a result cache, so this measures only dispatch
+    latency there.  Use :func:`time_throughput` for real kernel timing.
+    """
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     times = []
@@ -54,6 +60,58 @@ def time_fn(fn: Callable, *args, warmup: int = 3, iters: int = 10) -> float:
         jax.block_until_ready(fn(*args))
         times.append(time.perf_counter() - t0)
     return statistics.median(times)
+
+
+def time_throughput(fn: Callable, args: tuple, iters: int = 256,
+                    perturb: int = 0) -> float:
+    """Wall seconds **per iteration** of ``fn(*args)``, measured robustly.
+
+    Verified pathologies of this dev box's axon-tunnelled backend:
+
+    * dispatching the same executable on the same arguments returns a
+      cached result (a 4096^3 bf16 matmul "ran" at 2900 TFLOPS);
+    * the FIRST real execution of a new executable takes minutes
+      (server-side warm), subsequent real dispatches cost ~30 ms fixed.
+
+    Protocol: run ``iters`` iterations inside ONE compiled ``lax.scan``
+    program.  The perturbed input rides the scan carry and gets a
+    1-element data-dependent in-place bump each iteration (defeats
+    loop-invariant hoisting and result caching, costs ~nothing); outputs
+    pass through an optimization barrier and contribute one element to a
+    checksum (keeps all compute live without re-reading whole outputs).
+    Warm once on one buffer, then time a single dispatch on a different
+    buffer with a host fetch to force completion; pick ``iters`` so the
+    per-dispatch ~30 ms overhead is amortised.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    def body(carry, _):
+        x, c = carry
+        call_args = list(args)
+        call_args[perturb] = x
+        out = fn(*call_args)
+        leaves = [jax.lax.optimization_barrier(leaf)
+                  for leaf in jax.tree_util.tree_leaves(out)]
+        s = sum(leaf.ravel()[0].astype(jnp.float32) for leaf in leaves)
+        bump = (c.astype(jnp.int32) % 2).astype(x.dtype)
+        x = x.at[(0,) * x.ndim].add(bump)
+        return (x, c + s), ()
+
+    def loop(x0):
+        (_, total), _ = jax.lax.scan(body, (x0, jnp.float32(0.0)), None,
+                                     length=iters)
+        return total
+
+    x0 = args[perturb]
+    compiled = jax.jit(loop).lower(x0).compile()
+    np.asarray(compiled(x0))                       # server warm (slow)
+    x1 = jax.block_until_ready(jax.jit(lambda v: v + 1)(x0))
+    t0 = time.perf_counter()
+    val = np.asarray(compiled(x1))                 # the timed dispatch
+    wall = time.perf_counter() - t0
+    assert val == val, "NaN checksum"
+    return wall / iters
 
 
 @dataclasses.dataclass

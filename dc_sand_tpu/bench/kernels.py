@@ -14,23 +14,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from dc_sand_tpu import ops
-from dc_sand_tpu.bench.harness import BenchResult, time_fn
+from dc_sand_tpu.bench.harness import BenchResult, time_throughput
 from dc_sand_tpu.golden.chain import baseline_pairs
 
 __all__ = ["bench_xcorr", "bench_beamform"]
 
 
 def bench_xcorr(n_ants: int = 64, n_pols: int = 2, n_chans: int = 4096,
-                n_spectra: int = 256, iters: int = 10) -> BenchResult:
+                n_spectra: int = 256, iters: int = 64) -> BenchResult:
     """X-engine CMAC throughput: baselines/s and CMAC/s on the int8 MXU
     path (BASELINE.json:2 primary metric 2)."""
     ap = n_ants * n_pols
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.integers(-100, 100,
-                                 (n_chans, n_ants, n_pols, n_spectra, 2),
-                                 dtype=np.int8))
-    fn = jax.jit(ops.xcorr)
-    wall = time_fn(fn, q, warmup=3, iters=iters)
+    q = jax.block_until_ready(jax.jit(
+        lambda: (jax.random.normal(
+            jax.random.key(0),
+            (n_chans, n_ants, n_pols, n_spectra, 2)) * 30)
+        .astype(jnp.int8))())
+    wall = time_throughput(ops.xcorr, (q,), iters=iters)
     n_bl = len(baseline_pairs(n_ants))
     # complex MACs: full ap x ap matrix per channel per spectrum (the
     # computation actually performed; the triangle is what's kept)
@@ -54,16 +55,19 @@ def bench_xcorr(n_ants: int = 64, n_pols: int = 2, n_chans: int = 4096,
 
 def bench_beamform(n_beams: int = 16, n_ants: int = 64, n_pols: int = 2,
                    n_chans: int = 4096, n_spectra: int = 64,
-                   iters: int = 10) -> BenchResult:
+                   iters: int = 128) -> BenchResult:
     """Coherent beamformer throughput (C10)."""
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.integers(-100, 100,
-                                 (n_ants, n_pols, n_spectra, n_chans, 2),
-                                 dtype=np.int8))
-    w = jnp.asarray(rng.normal(size=(n_beams, n_ants, n_chans, 2))
-                    .astype(np.float32))
-    fn = jax.jit(ops.beamform)
-    wall = time_fn(fn, q, w, warmup=3, iters=iters)
+    q = jax.block_until_ready(jax.jit(
+        lambda: (jax.random.normal(
+            jax.random.key(0),
+            (n_ants, n_pols, n_spectra, n_chans, 2)) * 30)
+        .astype(jnp.int8))())
+    w = jax.block_until_ready(jax.jit(
+        lambda: jax.random.normal(jax.random.key(1),
+                                  (n_beams, n_ants, n_chans, 2),
+                                  jnp.float32))())
+    wall = time_throughput(ops.beamform, (q, w), iters=iters)
     flops = 4 * 2 * n_beams * n_ants * n_pols * n_spectra * n_chans
     in_bytes = q.size + w.size * 4
     out_bytes = n_beams * n_pols * n_spectra * n_chans * 2 * 4

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dc_sand_tpu.bench.harness import BenchResult, time_fn
+from dc_sand_tpu.bench.harness import BenchResult, time_throughput
 from dc_sand_tpu.models import f_engine
 from dc_sand_tpu.windows import pfb_window
 
@@ -27,7 +27,7 @@ REALTIME_FLOOR_PER_CHIP = 13.7e9  # real samp/s/chip, BASELINE.md [D]
 def bench_fengine(n_streams: int = 16, n_spectra: int = 512,
                   n_chans: int = 1024, taps: int = 16,
                   impl: str = "auto", full_chain: bool = True,
-                  iters: int = 10) -> BenchResult:
+                  iters: int = 256) -> BenchResult:
     """F-engine throughput on one chip.
 
     ``full_chain=True`` adds fine-delay/fringe + requant (config-2 shape,
@@ -36,8 +36,12 @@ def bench_fengine(n_streams: int = 16, n_spectra: int = 512,
     m = 2 * n_chans
     n_frames = n_spectra + taps - 1
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.integers(-100, 100, size=(n_streams, n_frames * m),
-                                 dtype=np.int8))
+    # stage the input on device via PRNG — host->device transfers ride a
+    # slow tunnel on this dev box and must stay out of the timed path
+    x = jax.block_until_ready(jax.jit(
+        lambda: (jax.random.normal(jax.random.key(0),
+                                   (n_streams, n_frames * m)) * 30)
+        .astype(jnp.int8))())
     w = pfb_window(taps, m)
     # All arrays are explicit jit args: a closed-over array is baked into
     # the program as a constant, and this backend's compiler constant-folds
@@ -52,20 +56,18 @@ def bench_fengine(n_streams: int = 16, n_spectra: int = 512,
                          dtype=jnp.float32)
         ph = jnp.zeros((n_streams, n_spectra), jnp.float32)
 
-        @jax.jit
         def step(xx, fd_, ph_, g_):
             return f_engine(xx, w, taps, n_chans, frac_delay=fd_, phase=ph_,
                             gains=g_, impl=impl)
 
         args = (x, fd, ph, gains)
     else:
-        @jax.jit
         def step(xx):
             return f_engine(xx, w, taps, n_chans, impl=impl)
 
         args = (x,)
 
-    wall = time_fn(step, *args, warmup=3, iters=iters)
+    wall = time_throughput(step, args, iters=iters)
     samples = n_streams * n_spectra * m  # new samples consumed per call
     rate = samples / wall
     # HBM bytes: int8 in (counted once - the kernel design reads each byte

@@ -93,6 +93,16 @@ def cmd_run(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    import contextlib
+    ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+        ctx = jax.profiler.trace(args.profile)
+    with ctx:
+        return _run_bench(args)
+
+
+def _run_bench(args) -> int:
     results = []
     if args.target in ("fengine", "pfb"):
         from dc_sand_tpu.bench.pipelines import bench_fengine
@@ -154,8 +164,15 @@ def main(argv=None) -> int:
     pb.add_argument("target", nargs="?", default="fengine",
                     choices=["fengine", "pfb", "xcorr", "beamform",
                              "collectives"])
+    pb.add_argument("--profile", metavar="DIR",
+                    help="write a jax.profiler (xprof/perfetto) trace")
     _add_common(pb)
     pb.set_defaults(fn=cmd_bench)
+
+    pg = sub.add_parser("regress",
+                        help="compare latest bench results vs previous")
+    pg.set_defaults(fn=lambda a: __import__(
+        "dc_sand_tpu.bench.regress", fromlist=["main"]).main())
 
     pi = sub.add_parser("info")
     pi.set_defaults(fn=cmd_info)
