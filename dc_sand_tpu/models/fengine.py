@@ -57,6 +57,28 @@ def f_engine(x: jax.Array, window: jax.Array, taps: int, n_chans: int, *,
     m = 2 * n_chans
     if coarse_delays is not None:
         x = coarse_delay(x, coarse_delays, max_delay)
+    if impl in ("fused", "auto"):
+        # the fused Pallas kernel (FIR+FFT+phase+requant in VMEM) is the
+        # fast path on TPU; it falls back internally for untileable
+        # shapes, and "auto" only takes it on a TPU-like platform
+        from dc_sand_tpu.ops._dispatch import _default_platform
+        if impl == "fused" or _default_platform() in ("tpu", "axon"):
+            from dc_sand_tpu.ops.fengine_fused import fengine_fused
+            b_out = x.shape[-1] // m - (taps - 1)
+            lead = x.shape[:-1]
+            fd = None if frac_delay is None else jnp.broadcast_to(
+                jnp.asarray(frac_delay, jnp.float32), lead + (b_out,))
+            ph = None if phase is None else jnp.broadcast_to(
+                jnp.asarray(phase, jnp.float32), lead + (b_out,))
+            g = None
+            if gains is not None:
+                g = jnp.asarray(gains)
+                if jnp.iscomplexobj(g):
+                    g = c2ri(g)
+                g = jnp.broadcast_to(g, (n_chans, 2))
+            return fengine_fused(x, window, taps, n_chans, frac_delay=fd,
+                                 phase=ph, gains=g)
+        impl = "jnp"
     fir = ops.pfb_fir(x, window, taps, m, impl=impl)
     spec = ops.channelize(fir, n_chans)
     if frac_delay is not None or phase is not None:

@@ -1,0 +1,345 @@
+"""Fused F-engine Pallas kernel: FIR + MXU FFT + phase + requant in VMEM.
+
+Why this kernel exists (measured on the local v5e): the unfused XLA
+pipeline materialises ~700 MB of HBM intermediates per 16.8 M-sample
+benchmark iteration (FIR out fp32, complex spectra, phasor tables),
+capping the F-engine at ~5 Gsamp/s/chip — under the 13.7 Gsamp/s
+real-time floor (BASELINE.md).  Fusing the whole per-antenna chain into
+one Pallas kernel keeps every intermediate in VMEM; HBM traffic drops to
+int8 in + int8 out (~34 MB), an order of magnitude less.
+
+Per grid step (stream s, tile of TB spectra):
+
+1. **FIR** — overlap-save history carried in VMEM, double-buffered DMA
+   of the TB new frames (same design as ops/pfb.py), fp32 accumulation.
+2. **FFT** — Cooley-Tukey ``M = M1*M2`` as two ``dot_general`` stages on
+   the MXU (fp32, HIGHEST) + twiddle multiply, natural-order output via
+   a final small transpose.  Real input: only ``k1 < M1/2`` output rows.
+3. **Fine delay + fringe** — phasor ``exp(-i(2pi k d_t/M + p_t))``
+   built WITHOUT per-element transcendentals: per-spectrum sin/cos of
+   the scalar base angle, then ``base^k`` by binary exponentiation over
+   the bits of k (log2(K) masked complex multiplies on the VPU).
+4. **Requant** — complex gain, round-half-even, saturate, int8.
+
+Output layout: ``(S, B, 2*K)`` with re/im interleaved on the last axis
+(the TPU cannot tile a trailing axis of 2); callers reshape to the
+``(..., K, 2)`` wire format for free.
+
+Semantics match golden.f_engine stage-for-stage (>50 dB contract,
+BASELINE.json:5); verified in tests at >90 dB.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fengine_fused"]
+
+_P = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _factor(m: int):
+    """m = m1 * m2 with m1 a lane-aligned power of two (the stage-2
+    matmul contracts 2*m1 and emits k1 = m1/2 outputs at full MXU
+    width) and m2 small (stage 1 runs as m2^2 scalar-weighted vector
+    FMAs on the VPU)."""
+    for m1 in (512, 256, 128):
+        if m % m1 == 0 and 8 <= m // m1 <= 32:
+            return m1, m // m1
+    raise ValueError(f"FFT size {m} not supported by the fused kernel")
+
+
+def _fft_tables(m: int):
+    """Stage-1 scalar weights + twiddle/stage-2 matrices + layouts.
+
+    Returns (m1, m2, w2 numpy (2, m2, m2) STATIC python scalars,
+    tw (2, m2, m1) jnp, wmr/wmi (2*m1, m1//2) jnp) where
+    wmr = [w1r^T ; -w1i^T], wmi = [w1i^T ; w1r^T] so that with
+    Zc = [Zr | Zi] (rows stacked over k2): Cr = Zc @ wmr, Ci = Zc @ wmi.
+    """
+    m1, m2 = _factor(m)
+    k1n = m1 // 2
+    w2 = np.stack([
+        np.cos(2 * np.pi * np.outer(np.arange(m2), np.arange(m2)) / m2),
+        -np.sin(2 * np.pi * np.outer(np.arange(m2), np.arange(m2)) / m2),
+    ]).astype(np.float64)
+    tw = np.exp(-2j * np.pi * np.outer(np.arange(m2), np.arange(m1)) / m)
+    w1 = np.exp(-2j * np.pi * np.outer(np.arange(m1), np.arange(k1n)) / m1)
+    wmr = np.concatenate([w1.real, -w1.imag], axis=0)   # (2*m1, k1n)
+    wmi = np.concatenate([w1.imag, w1.real], axis=0)
+    f32 = lambda a: jnp.asarray(a.astype(np.float32))  # noqa: E731
+    return (m1, m2, w2,
+            f32(np.stack([tw.real, tw.imag])),
+            f32(wmr), f32(wmi))
+
+
+def _kernel(x_hbm, w_ref, tw_ref, wmr_ref, wmi_ref, frac_ref, phase_ref,
+            gains_ref, out_ref, new_buf, hist_buf, hist_stage, sems, *,
+            taps, taps_pad, tb, nb, m, m1, m2, w2, quantized):
+    s = pl.program_id(0)
+    b = pl.program_id(1)
+
+    # ---------------- FIR (overlap-save, VMEM history) ----------------
+    def new_dma(tile_idx, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[s, pl.ds(taps_pad + tile_idx * tb, tb)],
+            new_buf.at[slot], sems.at[slot])
+
+    @pl.when(b == 0)
+    def _():
+        hist_dma = pltpu.make_async_copy(
+            x_hbm.at[s, pl.ds(0, taps_pad)], hist_stage, sems.at[2])
+        hist_dma.start()
+        new_dma(0, 0).start()
+        hist_dma.wait()
+        hist_buf[...] = hist_stage[...].astype(jnp.float32)
+
+    @pl.when(b + 1 < nb)
+    def _():
+        new_dma(b + 1, (b + 1) % 2).start()
+
+    slot = b % 2
+    new_dma(b, slot).wait()
+
+    new_f32 = new_buf[slot].astype(jnp.float32)
+    buf = jnp.concatenate([hist_buf[...], new_f32], axis=0)
+    rows = taps_pad + tb
+    fir = w_ref[0, 0] * buf[0:tb]
+    for t in range(1, taps):
+        fir = fir + w_ref[t, 0] * pltpu.roll(buf, rows - t, axis=0)[0:tb]
+    hist_buf[...] = new_f32[tb - taps_pad:tb]
+
+    # ---------------- FFT: VPU stage-1 + one MXU stage-2 --------------
+    # sample n = n1 + m1*n2; X[k2 + m2*k1] = sum_n1 W_m1^(k1 n1) *
+    #   tw[n2->k2] * sum_n2 fir[n1 + m1*n2] W_m2^(n2 k2).
+    # Stage 1 uses lane-aligned slices fir[:, m1*n2 : m1*(n2+1)] with
+    # STATIC scalar weights (w2 is baked into the program), so no
+    # reshapes/transposes ever touch Mosaic.
+    slices = [fir[:, m1 * n2:m1 * (n2 + 1)] for n2 in range(m2)]
+
+    # fringe + k2-part of the fine-delay phasor, updated per k2:
+    # phasor(k) = e^(-i p_t) * u^k2 * v^k1,  u = e^(-i a), v = u^m2,
+    # a = 2*pi*d_t/m.
+    d = frac_ref[0, 0, 0]    # (tb,)
+    p = phase_ref[0, 0, 0]   # (tb,)
+    ang = -(2.0 * jnp.pi / m) * d
+    ur = jnp.cos(ang)[:, None]
+    ui = jnp.sin(ang)[:, None]
+    fr = jnp.cos(p)[:, None]
+    fi = -jnp.sin(p)[:, None]
+
+    zr_rows = []
+    zi_rows = []
+    for k2 in range(m2):
+        yr = w2[0, 0, k2] * slices[0]
+        yi = w2[1, 0, k2] * slices[0]
+        for n2 in range(1, m2):
+            cr, ci = w2[0, n2, k2], w2[1, n2, k2]
+            if cr:
+                yr = yr + cr * slices[n2]
+            if ci:
+                yi = yi + ci * slices[n2]
+        # twiddle row (m1,) * k2-phasor (tb, 1), complex multiply
+        twr, twi = tw_ref[0, k2], tw_ref[1, k2]
+        ar = twr * fr - twi * fi          # (tb, m1) via broadcast
+        ai = twr * fi + twi * fr
+        zr_rows.append(yr * ar - yi * ai)
+        zi_rows.append(yr * ai + yi * ar)
+        # fold u into the fringe term for the next k2
+        nfr = fr * ur - fi * ui
+        nfi = fr * ui + fi * ur
+        fr, fi = nfr, nfi
+
+    z_stack = jnp.concatenate(
+        [jnp.concatenate(zr_rows, axis=0),
+         jnp.concatenate(zi_rows, axis=0)], axis=1)  # (m2*tb, 2*m1)
+    cr_all = jax.lax.dot_general(
+        z_stack, wmr_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_P)
+    ci_all = jax.lax.dot_general(
+        z_stack, wmi_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_P)
+
+    # k1-part of the phasor: e^(i*ang*m2*k1) over the lane index.
+    # |ang*m2*k1| <= pi/2 for |frac_delay| <= 0.5, so direct cos/sin is
+    # both cheap and accurate (no range reduction needed).
+    k1n = m1 // 2
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, k1n), 1)
+    phi = (ang * m2)[:, None] * k_ids.astype(jnp.float32)
+    pr = jnp.cos(phi)
+    pi_ = jnp.sin(phi)
+
+    for k2 in range(m2):
+        cr = cr_all[k2 * tb:(k2 + 1) * tb]
+        ci = ci_all[k2 * tb:(k2 + 1) * tb]
+        vr = cr * pr - ci * pi_
+        vi = cr * pi_ + ci * pr
+        if quantized:
+            gr = gains_ref[0, k2]   # (k1n,)
+            gi = gains_ref[1, k2]
+            qr = vr * gr - vi * gi
+            qi = vr * gi + vi * gr
+            out_ref[0, 2 * k2] = jnp.clip(
+                jnp.round(qr), -127, 127).astype(jnp.int8)
+            out_ref[0, 2 * k2 + 1] = jnp.clip(
+                jnp.round(qi), -127, 127).astype(jnp.int8)
+        else:
+            out_ref[0, 2 * k2] = vr
+            out_ref[0, 2 * k2 + 1] = vi
+
+
+def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
+                  frac_delay=None, phase=None, gains=None,
+                  interpret: bool = False):
+    """Fused F-engine.  ``x: (..., T)`` int8; returns ``(..., B, K, 2)``
+    int8 (with ``gains``) or float32 (without).
+
+    ``frac_delay``/``phase``: ``(..., B)`` float32 per spectrum (zeros
+    when None).  ``gains``: ``(K, 2)`` float32 re/im.  Falls back to the
+    unfused ops for shapes the kernel does not tile.
+    """
+    m = 2 * n_chans
+    t_len = x.shape[-1]
+    if t_len % m:
+        raise ValueError(f"input length {t_len} not a multiple of M={m}")
+    lead = x.shape[:-1]
+    n_frames = t_len // m
+    b_out = n_frames - (taps - 1)
+    if b_out <= 0:
+        raise ValueError("input shorter than the FIR window")
+    s = int(np.prod(lead)) if lead else 1
+    taps_pad = _round_up(taps, 8)
+
+    tb = 0
+    for cand in (128, 64, 32, 16, 8):
+        if cand >= taps_pad and b_out % cand == 0:
+            tb = cand
+            break
+    quantized = gains is not None
+    if tb == 0 or m % 128 or taps < 2:
+        # fall back to the unfused path
+        from dc_sand_tpu import ops as _ops
+        from dc_sand_tpu.utils.cplx import c2ri
+        fir = _ops.pfb_fir(x, window, taps, m, impl="jnp")
+        spec = _ops.channelize(fir, n_chans)
+        if frac_delay is not None or phase is not None:
+            spec = _ops.fine_delay_fringe(
+                spec, jnp.zeros(lead + (b_out,)) if frac_delay is None
+                else frac_delay,
+                jnp.zeros(lead + (b_out,)) if phase is None else phase)
+        if quantized:
+            from dc_sand_tpu.utils.cplx import ri2c
+            return _ops.requantize(spec, ri2c(jnp.asarray(gains)))
+        return c2ri(spec)
+    nb = b_out // tb
+    try:
+        m1, m2, w2, tw, wmr, wmi = _fft_tables(m)
+    except ValueError:
+        return fengine_fused.__wrapped_fallback__(
+            x, window, taps, n_chans, frac_delay=frac_delay, phase=phase,
+            gains=gains)
+    k1n = m1 // 2
+    assert m2 * k1n == n_chans
+
+    xr = x.reshape(s, n_frames, m)
+    # one zero pad frame: the aligned DMA tiling reads taps_pad-taps+1
+    # frames past the stream end (never used in outputs)
+    pad = taps_pad + nb * tb - n_frames
+    if pad > 0:
+        xr = jnp.concatenate(
+            [xr, jnp.zeros((s, pad, m), xr.dtype)], axis=1)
+
+    # (S, nb, 1, tb): trailing block dims equal the array dims, which
+    # is the only legal way to hand a per-(stream, tile) vector to the
+    # kernel (blocks must be (8,128)-tiled or full-dimension)
+    zeros_b = jnp.zeros((s, b_out), jnp.float32)
+    fd = (zeros_b if frac_delay is None
+          else jnp.asarray(frac_delay, jnp.float32).reshape(s, b_out)
+          ).reshape(s, nb, 1, tb)
+    ph = (zeros_b if phase is None
+          else jnp.asarray(phase, jnp.float32).reshape(s, b_out)
+          ).reshape(s, nb, 1, tb)
+    # gains in kernel-output layout: g_tbl[c, k2, k1] = gains[k2+m2*k1, c]
+    # (channel k = m2*k1 + k2, so this is a pure reshape+transpose)
+    if quantized:
+        g_tbl = jnp.asarray(gains, jnp.float32).reshape(
+            k1n, m2, 2).transpose(2, 1, 0)
+    else:
+        g_tbl = jnp.zeros((2, m2, k1n), jnp.float32)
+
+    w = jnp.asarray(window, jnp.float32).reshape(taps, 1, m)
+    kernel = functools.partial(
+        _kernel, taps=taps, taps_pad=taps_pad, tb=tb, nb=nb, m=m, m1=m1,
+        m2=m2, w2=w2, quantized=quantized)
+    out_dtype = jnp.int8 if quantized else jnp.float32
+    out = pl.pallas_call(
+        kernel,
+        grid=(s, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((taps, 1, m), lambda s_, b_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, m2, m1), lambda s_, b_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * m1, k1n), lambda s_, b_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * m1, k1n), lambda s_, b_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tb), lambda s_, b_: (s_, b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tb), lambda s_, b_: (s_, b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, m2, k1n), lambda s_, b_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * m2, tb, k1n),
+                               lambda s_, b_: (s_, 0, b_, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s, 2 * m2, b_out, k1n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tb, m), xr.dtype),
+            pltpu.VMEM((taps_pad, m), jnp.float32),
+            pltpu.VMEM((taps_pad, m), xr.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(xr, w, tw, wmr, wmi, fd, ph, g_tbl)
+    # decode: out[s, 2*k2+c, t, k1] -> spectra[s, t, k2 + m2*k1, c]
+    re = out[:, 0::2]                    # (s, m2, B, k1n)
+    im = out[:, 1::2]
+    re = re.transpose(0, 2, 3, 1).reshape(s, b_out, n_chans)
+    im = im.transpose(0, 2, 3, 1).reshape(s, b_out, n_chans)
+    res = jnp.stack([re, im], axis=-1)
+    return res.reshape(lead + (b_out, n_chans, 2))
+
+
+def _fallback(x, window, taps, n_chans, *, frac_delay=None, phase=None,
+              gains=None):
+    from dc_sand_tpu import ops as _ops
+    from dc_sand_tpu.utils.cplx import c2ri, ri2c
+    m = 2 * n_chans
+    fir = _ops.pfb_fir(x, window, taps, m, impl="jnp")
+    spec = _ops.channelize(fir, n_chans)
+    if frac_delay is not None or phase is not None:
+        b_out = spec.shape[-2]
+        lead = x.shape[:-1]
+        spec = _ops.fine_delay_fringe(
+            spec,
+            jnp.zeros(lead + (b_out,)) if frac_delay is None else frac_delay,
+            jnp.zeros(lead + (b_out,)) if phase is None else phase)
+    if gains is not None:
+        return _ops.requantize(spec, ri2c(jnp.asarray(gains)))
+    return c2ri(spec)
+
+
+fengine_fused.__wrapped_fallback__ = _fallback

@@ -195,3 +195,54 @@ class TestFEngineEndToEnd:
                           frac_delay=jnp.asarray(fd), phase=jnp.asarray(ph),
                           gains=jnp.asarray(np_c2ri(g)), impl="jnp")
         assert snr_db(ref, np.asarray(ops.dequantize(out))) > SNR_BOUND
+
+
+class TestFusedFEngine:
+    """The fused Pallas F-engine kernel (FIR+MXU FFT+phase+requant in
+    VMEM) vs golden, interpreter mode (SURVEY.md §4.2 kernel-unit)."""
+
+    def _data(self, taps, nch, B, seed=20):
+        m = 2 * nch
+        rng = np.random.default_rng(seed)
+        x = _noise_int8((2, (B + taps - 1) * m), seed=seed)
+        w = pfb_window(taps, m)
+        fd = rng.uniform(-0.5, 0.5, (2, B))
+        ph = rng.uniform(-np.pi, np.pi, (2, B))
+        g = np.full(nch, 0.05) * np.exp(
+            1j * rng.uniform(-np.pi, np.pi, nch))
+        return m, x, w, fd, ph, g
+
+    def test_quantized_matches_golden(self):
+        from dc_sand_tpu.ops.fengine_fused import fengine_fused
+        taps, nch, B = 4, 512, 16
+        m, x, w, fd, ph, g = self._data(taps, nch, B)
+        ref = golden.f_engine(x, w, taps, nch, frac_delay=fd, phase=ph,
+                              gains=g)
+        out = fengine_fused(jnp.asarray(x), w, taps, nch,
+                            frac_delay=jnp.asarray(fd),
+                            phase=jnp.asarray(ph),
+                            gains=jnp.asarray(np_c2ri(g)), interpret=True)
+        # fp32-vs-fp64 rounding flips at requant half-way boundaries cost
+        # a few dB on small integers; contract bound is 50 (BASELINE.json:5)
+        assert snr_db(ref, np_ri2c(out)) > 65
+
+    def test_bare_matches_golden(self):
+        from dc_sand_tpu.ops.fengine_fused import fengine_fused
+        taps, nch, B = 16, 512, 16
+        m, x, w, _, _, _ = self._data(taps, nch, B)
+        ref = golden.f_engine(x, w, taps, nch)
+        out = fengine_fused(jnp.asarray(x), w, taps, nch, interpret=True)
+        assert snr_db(ref, np_ri2c(out)) > 100
+
+    def test_small_m_falls_back(self):
+        """Shapes the kernel can't tile route to the unfused ops."""
+        from dc_sand_tpu.ops.fengine_fused import fengine_fused
+        taps, nch, B = 4, 64, 8
+        m, x, w, fd, ph, g = self._data(taps, nch, B)
+        ref = golden.f_engine(x, w, taps, nch, frac_delay=fd, phase=ph,
+                              gains=g)
+        out = fengine_fused(jnp.asarray(x), w, taps, nch,
+                            frac_delay=jnp.asarray(fd),
+                            phase=jnp.asarray(ph),
+                            gains=jnp.asarray(np_c2ri(g)))
+        assert snr_db(ref, np_ri2c(out)) > 50
