@@ -1,0 +1,52 @@
+"""On-chip memory-bandwidth microbenchmarks.
+
+The TPU-native mirror of dc_sand's NVLink/PCIe/membench experiments
+(SURVEY.md §2.1): measure what HBM actually delivers for the access
+patterns the pipeline uses — streaming copy, triad, int8 read->fp32
+write (the F-engine's input conversion), and transpose (the local
+corner-turn) — so roofline fractions in the other benchmarks rest on a
+measured, not quoted, ceiling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dc_sand_tpu.bench.harness import BenchResult, time_throughput
+
+__all__ = ["bench_membench", "PATTERNS"]
+
+PATTERNS = ("copy", "triad", "int8_upcast", "transpose")
+
+
+def bench_membench(pattern: str, *, mb: float = 256.0,
+                   iters: int = 64) -> BenchResult:
+    n = int(mb * 1e6 / 4)
+    n -= n % (8 * 128)
+    if pattern == "copy":
+        x = jax.jit(lambda: jnp.ones((n,), jnp.float32))()
+        fn = lambda v: v * 1.0  # noqa: E731
+        bytes_moved = 2 * n * 4
+    elif pattern == "triad":
+        x = jax.jit(lambda: jnp.ones((n,), jnp.float32))()
+        fn = lambda v: v * 2.0 + 1.0  # noqa: E731
+        bytes_moved = 2 * n * 4
+    elif pattern == "int8_upcast":
+        x = jax.jit(lambda: jnp.ones((4 * n,), jnp.int8))()
+        fn = lambda v: v.astype(jnp.float32) * 0.5  # noqa: E731
+        bytes_moved = 4 * n * 1 + 4 * n * 4
+    elif pattern == "transpose":
+        side = 8192
+        x = jax.jit(lambda: jnp.ones((side, side), jnp.float32))()
+        fn = lambda v: v.T + 0.0  # noqa: E731
+        bytes_moved = 2 * side * side * 4
+    else:
+        raise ValueError(f"unknown pattern {pattern!r}; choose {PATTERNS}")
+    x = jax.block_until_ready(x)
+    wall = time_throughput(fn, (x,), iters=iters)
+    return BenchResult(
+        name=f"membench_{pattern}",
+        metric=f"{pattern} bandwidth", value=bytes_moved / wall / 1e9,
+        unit="GB/s", wall_s=wall, bytes_moved=bytes_moved,
+    ).finish()

@@ -115,6 +115,10 @@ def _run_bench(args) -> int:
     elif args.target == "beamform":
         from dc_sand_tpu.bench.kernels import bench_beamform
         results.append(bench_beamform(n_chans=args.scale or 4096))
+    elif args.target == "membench":
+        from dc_sand_tpu.bench.membench import bench_membench, PATTERNS
+        for pat in PATTERNS:
+            results.append(bench_membench(pat))
     elif args.target == "collectives":
         from dc_sand_tpu.bench.collectives import (bench_collective,
                                                    COLLECTIVES)
@@ -163,7 +167,7 @@ def main(argv=None) -> int:
     pb = sub.add_parser("bench", help="benchmark on the local chip")
     pb.add_argument("target", nargs="?", default="fengine",
                     choices=["fengine", "pfb", "xcorr", "beamform",
-                             "collectives"])
+                             "collectives", "membench"])
     pb.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler (xprof/perfetto) trace")
     _add_common(pb)

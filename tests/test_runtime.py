@@ -190,3 +190,27 @@ class TestRunnerFEngine:
         assert snr_db(beams_g, beams) > 50
         inc_g = golden.incoherent_sum(spec_g[:, :, B_CHUNK:])
         assert snr_db(inc_g, outs[1]["incoherent"]) > 50
+
+
+class TestSteering:
+    def test_steering_weights_cohere_through_beamformer(self):
+        """Weights from geometric delays undo a per-antenna phase slope
+        (golden-level check tying C10 to C12)."""
+        from dc_sand_tpu.models.steering import steering_weights
+        fs, nch, n_ants = 1712e6, 64, 4
+        rng = np.random.default_rng(30)
+        tau = rng.uniform(-1e-9, 1e-9, (1, n_ants))  # one beam
+        w = steering_weights(tau, nch, fs)
+        assert w.shape == (1, n_ants, nch, 2)
+        # a plane wave arriving with delays tau has antenna phases
+        # e^(-2 pi i f tau); the steering weights conjugate them
+        f = np.arange(nch) * fs / (2 * nch)
+        sig = np.exp(-2j * np.pi * tau[0][:, None] * f)  # (ant, k)
+        x = sig[:, None, None, :] * np.ones((n_ants, 1, 3, nch))
+        y = golden.beamform(x, w[..., 0] + 1j * w[..., 1])
+        np.testing.assert_allclose(np.abs(y[0, 0]), n_ants, rtol=1e-6)
+
+    def test_bad_shape_rejected(self):
+        from dc_sand_tpu.models.steering import steering_weights
+        with pytest.raises(ValueError):
+            steering_weights(np.zeros(3), 16, 1e9)
