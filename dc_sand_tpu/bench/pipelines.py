@@ -82,3 +82,51 @@ def bench_fengine(n_streams: int = 16, n_spectra: int = 512,
                "n_chans": n_chans, "taps": taps, "impl": impl,
                "vs_realtime_floor": rate / REALTIME_FLOOR_PER_CHIP},
     ).finish()
+
+
+def bench_fx_step(n_ants: int = 64, n_pols: int = 2, n_chans: int = 1024,
+                  n_spectra: int = 32, taps: int = 16,
+                  iters: int = 64) -> BenchResult:
+    """End-to-end single-chip FX streaming step (the flagship path:
+    full F-engine -> local corner-turn -> X-engine CMAC + accumulate),
+    i.e. ``__graft_entry__.entry``'s program under the valid protocol."""
+    from dc_sand_tpu.config import get_config
+    from dc_sand_tpu.models.pipeline import make_step, history_len
+    from dc_sand_tpu.golden.chain import baseline_pairs
+
+    cfg = get_config("fx64").replace(n_ants=n_ants, n_pols=n_pols,
+                                     n_chans=n_chans,
+                                     spectra_per_chunk=n_spectra)
+    max_delay = 32
+    window = pfb_window(taps, cfg.fft_size)
+    step = make_step(cfg, window, max_delay=max_delay, mesh=None,
+                     impl="auto", donate=False)
+    a, p, k, b = n_ants, n_pols, n_chans, n_spectra
+    n_bl = len(baseline_pairs(a))
+    history = jnp.zeros((a, p, history_len(cfg, max_delay)), jnp.int8)
+    vis_acc = jnp.zeros((n_bl, p, p, k, 2), jnp.int32)
+    chunk = jax.block_until_ready(jax.jit(
+        lambda: (jax.random.normal(jax.random.key(0),
+                                   (a, p, cfg.chunk_samples)) * 30)
+        .astype(jnp.int8))())
+    coarse = jnp.zeros((a, p), jnp.int32)
+    frac = jnp.zeros((a, p, b), jnp.float32)
+    phase = jnp.zeros((a, p, b), jnp.float32)
+    gains = jnp.asarray(np.stack([np.full((k,), 0.05, np.float32),
+                                  np.zeros((k,), np.float32)], -1))
+    weights = jnp.zeros((1, a, k, 2), jnp.float32)
+    reset = jnp.asarray(False)
+
+    wall = time_throughput(
+        lambda ch: step(history, vis_acc, ch, coarse, frac, phase, gains,
+                        weights, reset),
+        (chunk,), iters=iters)
+    samples = a * p * cfg.chunk_samples
+    return BenchResult(
+        name="fx_step_64ant",
+        metric="FX-step samples/s/chip", value=samples / wall,
+        unit="samp/s", wall_s=wall,
+        bytes_moved=samples + n_bl * p * p * k * 8 * 2,
+        extra={"n_ants": a, "n_chans": k, "n_spectra": b,
+               "vs_realtime_floor": samples / wall / REALTIME_FLOOR_PER_CHIP},
+    ).finish()

@@ -109,6 +109,9 @@ def _run_bench(args) -> int:
         results.append(bench_fengine(impl=args.impl,
                                      full_chain=(args.target != "pfb"),
                                      n_chans=args.scale or 1024))
+    elif args.target == "fx":
+        from dc_sand_tpu.bench.pipelines import bench_fx_step
+        results.append(bench_fx_step(n_chans=args.scale or 1024))
     elif args.target == "xcorr":
         from dc_sand_tpu.bench.kernels import bench_xcorr
         results.append(bench_xcorr(n_chans=args.scale or 4096))
@@ -166,7 +169,7 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="benchmark on the local chip")
     pb.add_argument("target", nargs="?", default="fengine",
-                    choices=["fengine", "pfb", "xcorr", "beamform",
+                    choices=["fengine", "pfb", "fx", "xcorr", "beamform",
                              "collectives", "membench"])
     pb.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler (xprof/perfetto) trace")

@@ -17,3 +17,4 @@ from .phase import fine_delay_fringe  # noqa: F401
 from .quant import requantize, dequantize  # noqa: F401
 from .xcorr import xcorr  # noqa: F401
 from .beamform import beamform, incoherent_sum  # noqa: F401
+from .stokes import stokes  # noqa: F401

@@ -246,3 +246,26 @@ class TestFusedFEngine:
                             phase=jnp.asarray(ph),
                             gains=jnp.asarray(np_c2ri(g)))
         assert snr_db(ref, np_ri2c(out)) > 50
+
+
+class TestStokes:
+    def test_matches_golden(self):
+        rng = np.random.default_rng(31)
+        b_ri = rng.normal(size=(3, 2, 4, 16, 2)).astype(np.float32)
+        b_c = b_ri[..., 0] + 1j * b_ri[..., 1]
+        ref = golden.stokes(b_c)
+        out = ops.stokes(jnp.asarray(b_ri))
+        assert out.shape == (3, 4, 4, 16)
+        assert snr_db(ref, np.asarray(out)) > 100
+
+    def test_pure_x_pol(self):
+        b = np.zeros((1, 2, 1, 4, 2), np.float32)
+        b[0, 0, 0, :, 0] = 3.0  # x = 3+0j, y = 0
+        s = np.asarray(ops.stokes(jnp.asarray(b)))
+        np.testing.assert_allclose(s[0, 0, 0], 9.0)   # I
+        np.testing.assert_allclose(s[0, 1, 0], 9.0)   # Q
+        np.testing.assert_allclose(s[0, 2:, 0], 0.0)  # U, V
+
+    def test_single_pol_rejected(self):
+        with pytest.raises(ValueError):
+            ops.stokes(jnp.zeros((1, 1, 2, 4, 2)))
