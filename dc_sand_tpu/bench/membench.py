@@ -50,3 +50,26 @@ def bench_membench(pattern: str, *, mb: float = 256.0,
         metric=f"{pattern} bandwidth", value=bytes_moved / wall / 1e9,
         unit="GB/s", wall_s=wall, bytes_moved=bytes_moved,
     ).finish()
+
+
+def bench_h2d(mb: float = 64.0, iters: int = 8) -> BenchResult:
+    """Host->device feed bandwidth (the ingest boundary; dc_sand's
+    GPUDirect/vkgdr analog).  Measures jax.device_put of pinned host
+    int8 chunks — on this dev box it exercises the tunnel, on a real
+    TPU host the PCIe path the streaming runner feeds through."""
+    import numpy as np
+    import time as _time
+    n = int(mb * 1e6)
+    host = [np.random.default_rng(i).integers(
+        -100, 100, n, dtype=np.int8) for i in range(iters)]
+    dev = jax.devices()[0]
+    # warm one transfer
+    jax.block_until_ready(jax.device_put(host[0], dev))
+    t0 = _time.perf_counter()
+    outs = [jax.device_put(h, dev) for h in host]
+    jax.block_until_ready(outs)
+    wall = (_time.perf_counter() - t0) / iters
+    return BenchResult(
+        name="membench_h2d", metric="host->device bandwidth",
+        value=n / wall / 1e9, unit="GB/s", wall_s=wall, bytes_moved=n,
+    ).finish()

@@ -119,9 +119,11 @@ def _run_bench(args) -> int:
         from dc_sand_tpu.bench.kernels import bench_beamform
         results.append(bench_beamform(n_chans=args.scale or 4096))
     elif args.target == "membench":
-        from dc_sand_tpu.bench.membench import bench_membench, PATTERNS
+        from dc_sand_tpu.bench.membench import (bench_membench, bench_h2d,
+                                                 PATTERNS)
         for pat in PATTERNS:
             results.append(bench_membench(pat))
+        results.append(bench_h2d())
     elif args.target == "collectives":
         from dc_sand_tpu.bench.collectives import (bench_collective,
                                                    COLLECTIVES)

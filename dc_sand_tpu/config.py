@@ -76,6 +76,9 @@ class ChainConfig:
     run_xengine: bool = False
     n_beams: int = 0
     incoherent_beam: bool = False
+    # 8-bit beam output (C10's "int8 output"): scale applied before
+    # round/saturate; 0.0 keeps float32 beams
+    beam_quant_scale: float = 0.0
 
     # Integration / streaming.
     n_spectra_per_acc: int = 64

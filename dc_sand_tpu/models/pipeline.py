@@ -84,6 +84,11 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
             if mesh is not None:
                 coh = jax.lax.psum(coh, FX_AXIS)
                 inc = jax.lax.psum(inc, FX_AXIS)
+            if cfg.beam_quant_scale:
+                # int8 beam output (BASELINE.json:11 / SURVEY C10)
+                coh = jnp.clip(
+                    jnp.rint(coh * cfg.beam_quant_scale), -127, 127
+                ).astype(jnp.int8)
             outputs["beams"] = coh
             outputs["incoherent"] = inc
         return new_history, vis_acc, outputs

@@ -214,3 +214,27 @@ class TestSteering:
         from dc_sand_tpu.models.steering import steering_weights
         with pytest.raises(ValueError):
             steering_weights(np.zeros(3), 16, 1e9)
+
+
+class TestBeamQuant:
+    def test_int8_beam_output_matches_golden(self):
+        cfg = ChainConfig(name="t", n_ants=4, n_pols=2, n_chans=N_CHANS,
+                          n_taps=TAPS, spectra_per_chunk=B_CHUNK,
+                          apply_delay=True, apply_requant=True, n_beams=2,
+                          beam_quant_scale=0.25)
+        rng = np.random.default_rng(40)
+        wts = rng.normal(size=(2, 4, N_CHANS, 2)).astype(np.float32)
+        stream = _make_stream(cfg, 2, seed=41)
+        w = pfb_window(TAPS, M)
+        outs = []
+        r = FXRunner(cfg, w, weights=wts, impl="jnp")
+        r.run(_source(stream, cfg), 2, on_output=lambda i, o: outs.append(o))
+        assert outs[0]["beams"].dtype == np.int8
+        spec_g = _golden_chain(
+            cfg, stream, DelayModel.zeros(cfg.n_ants, cfg.n_pols),
+            np.full(cfg.n_chans, cfg.quant_scale) + 0j, 2)
+        wg = wts[..., 0] + 1j * wts[..., 1]
+        beams_g = golden.requantize(
+            golden.beamform(spec_g[:, :, B_CHUNK:], wg), 0.25)
+        got = np_ri2c(outs[1]["beams"].astype(np.float64))
+        assert snr_db(beams_g, got) > 50
