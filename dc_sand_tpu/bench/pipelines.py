@@ -85,7 +85,7 @@ def bench_fengine(n_streams: int = 16, n_spectra: int = 512,
 
 
 def bench_fx_step(n_ants: int = 64, n_pols: int = 2, n_chans: int = 1024,
-                  n_spectra: int = 32, taps: int = 16,
+                  n_spectra: int = 256, taps: int = 16,
                   iters: int = 64) -> BenchResult:
     """End-to-end single-chip FX streaming step (the flagship path:
     full F-engine -> local corner-turn -> X-engine CMAC + accumulate),

@@ -172,6 +172,10 @@ _CONFIGS = {
         run_xengine=True,
         shard_ants=True,
         shard_chans=True,
+        # larger chunks amortise the X-engine's fixed per-chunk cost
+        # (measured: ~1.7 ms/chunk regardless of spectra count)
+        spectra_per_chunk=256,
+        n_spectra_per_acc=1024,
     ),
     # 5. "Coherent beamformer (multi-beam weighted sum) + incoherent sum
     #    fused with the 64-antenna F-engine"  [BASELINE.json:11]
@@ -186,6 +190,7 @@ _CONFIGS = {
         incoherent_beam=True,
         shard_ants=True,
         shard_chans=True,
+        spectra_per_chunk=256,
     ),
 }
 

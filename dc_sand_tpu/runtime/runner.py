@@ -79,6 +79,12 @@ class FXRunner:
         n_bl = len(baseline_pairs(a))
         self.vis_acc = jnp.zeros((n_bl, p, p, k, 2), jnp.int32) \
             if self.mode == "fx" else jnp.zeros((1,), jnp.int32)
+        # int32 CMAC headroom (ops/xcorr.py): |V| <= 2*127^2*n_spectra
+        max_spectra = (2 ** 31 - 1) // (2 * 127 * 127)
+        if self.mode == "fx" and cfg.n_spectra_per_acc > max_spectra:
+            raise ValueError(
+                f"n_spectra_per_acc={cfg.n_spectra_per_acc} overflows the "
+                f"int32 visibility accumulator (max {max_spectra})")
         self.counters = RunnerCounters()
         self.t0 = 0          # absolute sample index of next new sample
         self.chunk_idx = 0

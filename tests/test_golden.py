@@ -191,3 +191,21 @@ class TestFEngineComposition:
             gains=np.full(cfgN, 0.05))
         assert out.shape == (2, 2, 3, cfgN)
         assert out.real.max() <= 127 and out.real.min() >= -127
+
+
+class TestWindowQuality:
+    def test_hann_sinc_alias_suppression(self):
+        """A tone 3+ channels away leaks < -60 dB through the hann-sinc
+        prototype (the reason a PFB beats a plain FFT filterbank)."""
+        k0 = 80
+        spec = _tone_spectra((k0 + 0.5) * FS / M, kind="hann-sinc",
+                             n_spectra=8)
+        power = (np.abs(spec) ** 2).mean(axis=0)
+        near = power[k0 - 1:k0 + 3].sum()
+        far = power[k0 + 4:k0 + 40].max()
+        assert 10 * np.log10(far / near) < -60
+
+    def test_window_dc_normalisation(self):
+        for kind in ("hann", "hann-sinc", "rect"):
+            w = pfb_window(8, 64, kind)
+            assert abs(w.sum() - 64) < 1e-9

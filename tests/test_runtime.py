@@ -238,3 +238,22 @@ class TestBeamQuant:
             golden.beamform(spec_g[:, :, B_CHUNK:], wg), 0.25)
         got = np_ri2c(outs[1]["beams"].astype(np.float64))
         assert snr_db(beams_g, got) > 50
+
+
+class TestHeadroom:
+    def test_overflow_window_rejected(self):
+        cfg = _cfg(n_spectra_per_acc=70000, spectra_per_chunk=4)
+        with pytest.raises(ValueError, match="overflow"):
+            FXRunner(cfg, pfb_window(TAPS, M), impl="jnp")
+
+    def test_max_amplitude_exact(self):
+        """Full-scale +/-127 inputs integrate exactly (no silent wrap)."""
+        import jax.numpy as jnp2
+        from dc_sand_tpu import ops as _ops
+        b = 64
+        q = np.full((8, 2, b, 4, 2), 127, np.int8)  # (ant,pol,b,k,2)
+        q[..., 1] = -127
+        v = np.asarray(_ops.xcorr(jnp2.asarray(np.moveaxis(q, 3, 0),
+                                               jnp2.int8)))
+        expect = 2 * 127 * 127 * b
+        assert v.max() == expect and abs(int(v.min())) <= expect
