@@ -97,13 +97,13 @@ def bench_fx_step(n_ants: int = 64, n_pols: int = 2, n_chans: int = 1024,
     cfg = get_config("fx64").replace(n_ants=n_ants, n_pols=n_pols,
                                      n_chans=n_chans,
                                      spectra_per_chunk=n_spectra)
-    max_delay = 32
+    # production step: coarse delay rides the host/ingest feed path
     window = pfb_window(taps, cfg.fft_size)
-    step = make_step(cfg, window, max_delay=max_delay, mesh=None,
-                     impl="auto", donate=False)
+    step = make_step(cfg, window, max_delay=0, mesh=None,
+                     impl="auto", donate=False, coarse_on_host=True)
     a, p, k, b = n_ants, n_pols, n_chans, n_spectra
     n_bl = len(baseline_pairs(a))
-    history = jnp.zeros((a, p, history_len(cfg, max_delay)), jnp.int8)
+    history = jnp.zeros((a, p, history_len(cfg, 0)), jnp.int8)
     vis_acc = jnp.zeros((n_bl, p, p, k, 2), jnp.int32)
     chunk = jax.block_until_ready(jax.jit(
         lambda: (jax.random.normal(jax.random.key(0),

@@ -54,16 +54,26 @@ def mode_for(cfg: ChainConfig) -> str:
 
 
 def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
-              mesh=None, impl: str = "auto", donate: bool = True):
-    """Build the jitted streaming step for ``cfg`` (optionally SPMD)."""
+              mesh=None, impl: str = "auto", donate: bool = True,
+              coarse_on_host: bool = False):
+    """Build the jitted streaming step for ``cfg`` (optionally SPMD).
+
+    ``coarse_on_host=True`` (the production mode, used by the runner)
+    skips the on-device coarse delay: integer-sample delay is a
+    read-pointer offset and belongs at the ingest boundary — the
+    device-side vmapped int8 gather costs ~7.8 ms per 64-ant chunk on
+    this chip, vs ~nothing as a host/ingest placement offset.  Only the
+    sub-sample residual (fine-delay phase ramp) runs on device.
+    """
     mode = mode_for(cfg)
     taps, n_chans = cfg.n_taps, cfg.n_chans
     quantized = cfg.apply_requant
+    device_coarse = cfg.apply_delay and not coarse_on_host
 
     def step(history, vis_acc, chunk, coarse, frac, phase, gains,
              weights, reset):
         buf = jnp.concatenate([history, chunk], axis=-1)
-        delayed = coarse_delay(buf, coarse, max_delay) if cfg.apply_delay \
+        delayed = coarse_delay(buf, coarse, max_delay) if device_coarse \
             else (buf if max_delay == 0 else buf[..., max_delay:])
         q = f_engine(delayed, window, taps, n_chans,
                      frac_delay=frac if cfg.apply_delay else None,

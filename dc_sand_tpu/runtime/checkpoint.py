@@ -19,6 +19,8 @@ def save_state(runner, path: str) -> None:
         acc_spectra=runner._acc_spectra,
         acc_integrated=runner._acc_integrated,
         config_hash=runner.cfg.config_hash(),
+        host_tail=(runner._host_tail if runner._host_tail is not None
+                   else np.zeros(0, np.int8)),
     )
 
 
@@ -37,3 +39,5 @@ def load_state(runner, path: str) -> None:
     runner.chunk_idx = int(z["chunk_idx"])
     runner._acc_spectra = int(z["acc_spectra"])
     runner._acc_integrated = int(z["acc_integrated"])
+    if "host_tail" in z.files and z["host_tail"].size:
+        runner._host_tail = z["host_tail"].copy()

@@ -57,15 +57,22 @@ class FXRunner:
                  delay_model: Optional[DelayModel] = None,
                  gains: Optional[np.ndarray] = None,
                  weights: Optional[np.ndarray] = None,
-                 mesh=None, impl: str = "auto"):
+                 mesh=None, impl: str = "auto",
+                 coarse_on_host: bool = True):
         self.cfg = cfg
         self.mode = mode_for(cfg)
         self.mesh = mesh
         self.delay_model = delay_model or DelayModel.zeros(
             cfg.n_ants, cfg.n_pols)
         self.max_delay = self.delay_model.max_delay
-        self._step = make_step(cfg, window, max_delay=self.max_delay,
-                               mesh=mesh, impl=impl)
+        # integer-sample (coarse) delay is a read-pointer offset: applied
+        # on the host feed path by default (the device-side int8 gather
+        # costs ~7.8 ms/chunk at 64 ants; see make_step docstring)
+        self.coarse_on_host = coarse_on_host and cfg.apply_delay
+        dev_max_delay = 0 if self.coarse_on_host else self.max_delay
+        self._step = make_step(cfg, window, max_delay=dev_max_delay,
+                               mesh=mesh, impl=impl,
+                               coarse_on_host=self.coarse_on_host)
         a, p, k = cfg.n_ants, cfg.n_pols, cfg.n_chans
         self.gains = jnp.asarray(
             gains if gains is not None
@@ -74,8 +81,12 @@ class FXRunner:
         self.weights = jnp.asarray(
             weights if weights is not None
             else np.zeros((max(cfg.n_beams, 1), a, k, 2), np.float32))
-        hist = history_len(cfg, self.max_delay)
+        hist = history_len(
+            cfg, 0 if self.coarse_on_host else self.max_delay)
         self.history = jnp.zeros((a, p, hist), jnp.int8)
+        self._host_tail = (np.zeros((a, p, self.max_delay), np.int8)
+                           if self.coarse_on_host and self.max_delay
+                           else None)
         n_bl = len(baseline_pairs(a))
         self.vis_acc = jnp.zeros((n_bl, p, p, k, 2), jnp.int32) \
             if self.mode == "fx" else jnp.zeros((1,), jnp.int32)
@@ -123,6 +134,19 @@ class FXRunner:
                 chunk = source(i)
             coarse, frac, phase = self.delay_model.evaluate_chunk(
                 self.t0, b, cfg.fft_size)
+            if self._host_tail is not None:
+                # host-side coarse delay: read-pointer offset into
+                # [tail | chunk]; the tail carries the previous chunk's
+                # last max_delay raw samples (zeros at stream start)
+                buf = np.concatenate([self._host_tail, chunk], axis=-1)
+                delayed = np.empty_like(chunk)
+                md = self.max_delay
+                for ai in range(cfg.n_ants):
+                    for pi in range(cfg.n_pols):
+                        off = md - int(coarse[ai, pi])
+                        delayed[ai, pi] = buf[ai, pi, off:off + c_samp]
+                self._host_tail = buf[..., -md:] if md else self._host_tail
+                chunk = delayed
             reset = self._acc_spectra == 0
             if reset:
                 self._acc_first_chunk = i
