@@ -14,11 +14,8 @@ measure host memory — both still exercise the code path.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from dc_sand_tpu.bench.harness import BenchResult, time_throughput

@@ -9,8 +9,6 @@ table) — that is the ``vs_baseline`` denominator.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

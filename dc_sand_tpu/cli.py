@@ -9,7 +9,6 @@
 from __future__ import annotations
 
 import argparse
-import json
 import logging
 import sys
 
@@ -49,7 +48,7 @@ def cmd_run(args) -> int:
     import numpy as np
     from dc_sand_tpu import golden
     from dc_sand_tpu.config import get_config, scaled_for_test
-    from dc_sand_tpu.runtime import DelayModel, FXRunner
+    from dc_sand_tpu.runtime import FXRunner
     from dc_sand_tpu.windows import pfb_window
 
     cfg = get_config(args.config)

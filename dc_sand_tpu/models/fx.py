@@ -12,9 +12,6 @@ Call stack mirror of SURVEY.md §3.4.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

@@ -21,8 +21,6 @@ beams replicated after psum (BASELINE.json:5,10,11).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

@@ -18,7 +18,6 @@ import dataclasses
 import logging
 from typing import Callable, Iterable, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -14,7 +14,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from dc_sand_tpu import golden
-from dc_sand_tpu.config import ChainConfig, get_config, scaled_for_test
+from dc_sand_tpu.config import get_config, scaled_for_test
 from dc_sand_tpu.runtime import DelayModel, FXRunner
 from dc_sand_tpu.utils import snr_db, np_ri2c
 from dc_sand_tpu.windows import pfb_window
