@@ -22,6 +22,9 @@ def _add_common(p):
                    help="pin computations to the CPU backend")
     p.add_argument("--mesh", type=int, default=0,
                    help="run the SPMD path over an N-device mesh")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() and "
+                        "mesh over all global devices")
 
 
 def cmd_verify(args) -> int:
@@ -189,6 +192,12 @@ def main(argv=None) -> int:
     if getattr(args, "cpu", False):
         import jax
         jax.config.update("jax_default_device", "cpu")
+    if getattr(args, "distributed", False):
+        from dc_sand_tpu.parallel.distributed import init_distributed
+        info = init_distributed()
+        print(f"distributed: {info}")
+        import jax
+        args.mesh = len(jax.devices())
     return args.fn(args)
 
 

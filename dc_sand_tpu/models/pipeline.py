@@ -105,7 +105,10 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
         fn = step
     else:
         a = P(FX_AXIS)
-        vis_spec = P(None, None, None, FX_AXIS)
+        # fx mode carries the real (n_bl,p,p,k,2) accumulator sharded on
+        # channels; other modes carry a rank-1 dummy
+        vis_spec = (P(None, None, None, FX_AXIS) if mode == "fx"
+                    else P(None))
         out_specs = {"fengine": (a, vis_spec, {"spectra": a}),
                      "fx": (a, vis_spec, {}),
                      "beam": (a, vis_spec, {"beams": P(),

@@ -146,3 +146,42 @@ class TestTimeShardedFEngine:
         ref = golden.channelize(golden.pfb_fir(xg, w, TAPS, M), N_CHANS)
         assert out.shape == ref.shape
         assert snr_db(ref, out) > 100
+
+
+class TestShardedBeamStep:
+    def test_sharded_beam_step_matches_golden(self):
+        """make_step beam mode over the mesh (psum over antenna shards)
+        == golden beamformer on the full array."""
+        from dc_sand_tpu.config import ChainConfig
+        from dc_sand_tpu.models.pipeline import make_step, history_len
+        d = 4
+        mesh = build_mesh(n_devices=d)
+        cfg = ChainConfig(name="t", n_ants=8, n_pols=2, n_chans=N_CHANS,
+                          n_taps=TAPS, spectra_per_chunk=8, n_beams=3,
+                          apply_delay=True, apply_requant=True,
+                          incoherent_beam=True)
+        rng = np.random.default_rng(50)
+        wts = rng.normal(size=(3, 8, N_CHANS, 2)).astype(np.float32)
+        stream = _noise_int8((8, 2, cfg.chunk_samples), seed=51)
+        gains = np.zeros((N_CHANS, 2), np.float32)
+        gains[:, 0] = 0.05
+        step = make_step(cfg, pfb_window(TAPS, M), max_delay=0, mesh=mesh,
+                         impl="jnp", donate=False, coarse_on_host=True)
+        hist = jnp.zeros((8, 2, history_len(cfg, 0)), jnp.int8)
+        args = (hist, jnp.zeros((1,), jnp.int32), jnp.asarray(stream),
+                jnp.zeros((8, 2), jnp.int32),
+                jnp.zeros((8, 2, 8), jnp.float32),
+                jnp.zeros((8, 2, 8), jnp.float32),
+                jnp.asarray(gains), jnp.asarray(wts), jnp.asarray(True))
+        _, _, outputs = step(*args)
+
+        lead = np.zeros((8, 2, (TAPS - 1) * M))
+        xg = np.concatenate([lead, stream], axis=-1)
+        spec_g = golden.f_engine(xg, pfb_window(TAPS, M), TAPS, N_CHANS,
+                                 frac_delay=np.zeros((8, 2, 8)),
+                                 phase=np.zeros((8, 2, 8)),
+                                 gains=np.full(N_CHANS, 0.05) + 0j)
+        beams_g = golden.beamform(spec_g, wts[..., 0] + 1j * wts[..., 1])
+        assert snr_db(beams_g, np_ri2c(np.asarray(outputs["beams"]))) > 50
+        inc_g = golden.incoherent_sum(spec_g)
+        assert snr_db(inc_g, np.asarray(outputs["incoherent"])) > 50
