@@ -59,6 +59,12 @@ _P = jax.lax.Precision.HIGHEST
 # 32: 12.7 — bigger tiles amortise better until VMEM runs out)
 _TB_CANDIDATES = (128, 64, 32, 16, 8)
 
+# stage-2 DFT matmul mode: "fp32" = dot_general fp32 HIGHEST (3 bf16
+# passes per dot); "int16" = split both operands into int8 hi/lo and run
+# int8 MXU dots (2x the bf16 rate; ~2x faster stage 2, ~90 dB stage
+# accuracy).  Selected per call via fengine_fused(stage2=...).
+_DEFAULT_STAGE2 = "fp32"
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -99,9 +105,10 @@ def _fft_tables(m: int):
             f32(wmr), f32(wmi))
 
 
-def _kernel(x_hbm, w_ref, tw_ref, wmr_ref, wmi_ref, frac_ref, phase_ref,
-            gains_ref, out_ref, new_buf, hist_buf, hist_stage, sems, *,
-            taps, taps_pad, tb, nb, m, m1, m2, w2, quantized):
+def _kernel(x_hbm, w_ref, tw_ref, wmr_ref, wmi_ref, wmr_lo_ref,
+            wmi_lo_ref, frac_ref, phase_ref, gains_ref, out_ref, new_buf,
+            hist_buf, hist_stage, sems, *, taps, taps_pad, tb, nb, m, m1,
+            m2, w2, quantized, stage2, w_scale):
     s = pl.program_id(0)
     b = pl.program_id(1)
 
@@ -179,12 +186,41 @@ def _kernel(x_hbm, w_ref, tw_ref, wmr_ref, wmi_ref, frac_ref, phase_ref,
     z_stack = jnp.concatenate(
         [jnp.concatenate(zr_rows, axis=0),
          jnp.concatenate(zi_rows, axis=0)], axis=1)  # (m2*tb, 2*m1)
-    cr_all = jax.lax.dot_general(
-        z_stack, wmr_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_P)
-    ci_all = jax.lax.dot_general(
-        z_stack, wmi_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_P)
+    if stage2 == "int16":
+        # both operands split to int8 hi/lo; 3 int8 MXU dots per
+        # component (the lo*lo term is below the noise floor).  W tables
+        # arrive pre-split as int8 with a static scale.
+        # 14-bit split with radix 128: zh in [-127,127], zl in [-64,64]
+        # (a 256-radix split overflows int8 at the +/-32767 boundary)
+        zmax = jnp.max(jnp.abs(z_stack))
+        zscale = jnp.maximum(zmax, 1e-30) / 16256.0
+        z14 = jnp.round(z_stack / zscale)
+        zh = jnp.round(z14 / 128.0)
+        zl = z14 - zh * 128.0
+        zh8 = zh.astype(jnp.int8)
+        zl8 = zl.astype(jnp.int8)
+
+        def idot(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        def stage2_dot(wh_ref, wl_ref):
+            wh = wh_ref[...]
+            wl = wl_ref[...]
+            hi = idot(zh8, wh).astype(jnp.float32)
+            mid = (idot(zh8, wl) + idot(zl8, wh)).astype(jnp.float32)
+            return (hi * 16384.0 + mid * 128.0) * (zscale * w_scale)
+
+        cr_all = stage2_dot(wmr_ref, wmr_lo_ref)
+        ci_all = stage2_dot(wmi_ref, wmi_lo_ref)
+    else:
+        cr_all = jax.lax.dot_general(
+            z_stack, wmr_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_P)
+        ci_all = jax.lax.dot_general(
+            z_stack, wmi_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_P)
 
     # k1-part of the phasor: e^(i*ang*m2*k1) over the lane index.
     # |ang*m2*k1| <= pi/2 for |frac_delay| <= 0.5, so direct cos/sin is
@@ -216,7 +252,7 @@ def _kernel(x_hbm, w_ref, tw_ref, wmr_ref, wmi_ref, frac_ref, phase_ref,
 
 def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
                   frac_delay=None, phase=None, gains=None,
-                  interpret: bool = False):
+                  stage2: str = None, interpret: bool = False):
     """Fused F-engine.  ``x: (..., T)`` int8; returns ``(..., B, K, 2)``
     int8 (with ``gains``) or float32 (without).
 
@@ -238,7 +274,11 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
 
     tb = 0
     for cand in _TB_CANDIDATES:
-        if cand >= taps_pad and b_out % cand == 0:
+        # VMEM footprint model (empirical): ~4*m*(taps_pad + 8*tb) bytes
+        # for history+fir+Z stacks+outputs; stay under ~12 MB of the
+        # 16 MB scoped budget (m=8192 at tb=128 measured 44 MB -> OOM)
+        if (cand >= taps_pad and b_out % cand == 0
+                and 4 * m * (taps_pad + 8 * cand) <= 12 * 1024 * 1024):
             tb = cand
             break
     quantized = gains is not None
@@ -258,6 +298,8 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
             return _ops.requantize(spec, ri2c(jnp.asarray(gains)))
         return c2ri(spec)
     nb = b_out // tb
+    if stage2 is None:
+        stage2 = _DEFAULT_STAGE2
     try:
         m1, m2, w2, tw, wmr, wmi = _fft_tables(m)
     except ValueError:
@@ -293,10 +335,27 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
     else:
         g_tbl = jnp.zeros((2, m2, k1n), jnp.float32)
 
+    if stage2 == "int16":
+        # split the stage-2 DFT matrices into int8 hi/lo pairs
+        def split14(wm):
+            w14 = np.rint(np.asarray(wm) * 16256.0)
+            wh = np.rint(w14 / 128.0)
+            wl = w14 - wh * 128.0
+            return (jnp.asarray(wh.astype(np.int8)),
+                    jnp.asarray(wl.astype(np.int8)))
+        wmr, wmr_lo = split14(wmr)
+        wmi, wmi_lo = split14(wmi)
+        w_scale = 1.0 / 16256.0
+    else:
+        zero_lo = jnp.zeros((2 * m1, k1n), jnp.int8)
+        wmr_lo = wmi_lo = zero_lo
+        w_scale = 1.0
+
     w = jnp.asarray(window, jnp.float32).reshape(taps, 1, m)
     kernel = functools.partial(
         _kernel, taps=taps, taps_pad=taps_pad, tb=tb, nb=nb, m=m, m1=m1,
-        m2=m2, w2=w2, quantized=quantized)
+        m2=m2, w2=w2, quantized=quantized, stage2=stage2,
+        w_scale=w_scale)
     out_dtype = jnp.int8 if quantized else jnp.float32
     out = pl.pallas_call(
         kernel,
@@ -306,6 +365,10 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
             pl.BlockSpec((taps, 1, m), lambda s_, b_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, m2, m1), lambda s_, b_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * m1, k1n), lambda s_, b_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * m1, k1n), lambda s_, b_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * m1, k1n), lambda s_, b_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -329,7 +392,7 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(xr, w, tw, wmr, wmi, fd, ph, g_tbl)
+    )(xr, w, tw, wmr, wmi, wmr_lo, wmi_lo, fd, ph, g_tbl)
     # decode: out[s, 2*k2+c, t, k1] -> spectra[s, t, k2 + m2*k1, c]
     re = out[:, 0::2]                    # (s, m2, B, k1n)
     im = out[:, 1::2]

@@ -269,3 +269,19 @@ class TestStokes:
     def test_single_pol_rejected(self):
         with pytest.raises(ValueError):
             ops.stokes(jnp.zeros((1, 1, 2, 4, 2)))
+
+
+class TestFusedInt16Stage2:
+    def test_int16_stage2_above_contract(self):
+        """Opt-in int8-MXU stage-2 (hi/lo 14-bit split): ~80 dB bare,
+        >50 dB quantized — valid but left non-default (thin margin)."""
+        from dc_sand_tpu.ops.fengine_fused import fengine_fused
+        taps, nch, B = 4, 512, 16
+        m = 2 * nch
+        rng = np.random.default_rng(22)
+        x = _noise_int8((2, (B + taps - 1) * m), seed=22)
+        w = pfb_window(taps, m)
+        ref = golden.f_engine(x, w, taps, nch)
+        out = fengine_fused(jnp.asarray(x), w, taps, nch,
+                            stage2="int16", interpret=True)
+        assert snr_db(ref, np_ri2c(out)) > 70
