@@ -28,6 +28,11 @@ def _add_common(p):
 
 
 def cmd_verify(args) -> int:
+    import json as _json
+    import os
+    import subprocess
+    import time
+
     from dc_sand_tpu.verify import verify_config, SNR_BOUND
     mesh = None
     if args.mesh:
@@ -44,6 +49,25 @@ def cmd_verify(args) -> int:
         print(f"  ({counters})")
     print(f"{args.config}: {'PASS' if ok else 'FAIL'} "
           f"(bound {SNR_BOUND} dB)")
+    if args.record:
+        # SNR regression record (SURVEY.md §4.2 regression row)
+        os.makedirs("bench/results", exist_ok=True)
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True).stdout.strip() or "nogit"
+        except Exception:
+            commit = "nogit"
+        path = (f"bench/results/verify_{args.config}_{commit}_"
+                f"{int(time.time())}.json")
+        with open(path, "w") as f:
+            f.write(_json.dumps({
+                "name": f"verify_{args.config}",
+                "metric": "min stage SNR", "unit": "dB",
+                "value": min(snrs.values()), "wall_s": 0.0,
+                "extra": {k: v for k, v in snrs.items()},
+            }) + "\n")
+        print(f"recorded {path}")
     return 0 if ok else 1
 
 
@@ -159,6 +183,8 @@ def main(argv=None) -> int:
 
     pv = sub.add_parser("verify", help="run a config vs the golden chain")
     pv.add_argument("config")
+    pv.add_argument("--record", action="store_true",
+                    help="write an SNR regression record under bench/results")
     _add_common(pv)
     pv.set_defaults(fn=cmd_verify)
 

@@ -1,0 +1,30 @@
+"""The verification driver itself (C16): every preset passes at reduced
+scale on CPU, including config 4's sharded mode over the virtual mesh —
+the same entry the CLI and the judge use."""
+
+import numpy as np
+import pytest
+
+from dc_sand_tpu.verify import verify_config, SNR_BOUND
+from dc_sand_tpu.parallel import build_mesh
+
+
+@pytest.mark.parametrize("name", ["pfb1k", "pfb4k", "fx4"])
+def test_configs_pass_scaled(name):
+    snrs = verify_config(name, scale=128, impl="jnp")
+    snrs.pop("_counters")
+    assert snrs and all(v > SNR_BOUND for v in snrs.values()), snrs
+
+
+def test_fx64_sharded_mesh_passes():
+    mesh = build_mesh(n_devices=4)
+    snrs = verify_config("fx64", scale=128, mesh=mesh, impl="jnp")
+    snrs.pop("_counters")
+    assert snrs["visibilities"] > SNR_BOUND
+
+
+def test_beam64_passes_scaled():
+    snrs = verify_config("beam64", scale=128, impl="jnp")
+    snrs.pop("_counters")
+    assert snrs["beams"] > SNR_BOUND
+    assert snrs["incoherent"] > SNR_BOUND
