@@ -88,17 +88,19 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
             vis_acc = jnp.where(reset, vis, vis_acc + vis)
         else:  # beam
             coh = ops.beamform(q, weights)
-            inc = ops.incoherent_sum(q)
             if mesh is not None:
                 coh = jax.lax.psum(coh, FX_AXIS)
-                inc = jax.lax.psum(inc, FX_AXIS)
             if cfg.beam_quant_scale:
                 # int8 beam output (BASELINE.json:11 / SURVEY C10)
                 coh = jnp.clip(
                     jnp.rint(coh * cfg.beam_quant_scale), -127, 127
                 ).astype(jnp.int8)
             outputs["beams"] = coh
-            outputs["incoherent"] = inc
+            if cfg.incoherent_beam:
+                inc = ops.incoherent_sum(q)
+                if mesh is not None:
+                    inc = jax.lax.psum(inc, FX_AXIS)
+                outputs["incoherent"] = inc
         return new_history, vis_acc, outputs
 
     if mesh is None:
@@ -109,10 +111,12 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
         # channels; other modes carry a rank-1 dummy
         vis_spec = (P(None, None, None, FX_AXIS) if mode == "fx"
                     else P(None))
+        beam_out = {"beams": P()}
+        if cfg.incoherent_beam:
+            beam_out["incoherent"] = P()
         out_specs = {"fengine": (a, vis_spec, {"spectra": a}),
                      "fx": (a, vis_spec, {}),
-                     "beam": (a, vis_spec, {"beams": P(),
-                                            "incoherent": P()})}[mode]
+                     "beam": (a, vis_spec, beam_out)}[mode]
         fn = _shard_map(
             step, mesh=mesh,
             in_specs=(a, vis_spec, a, a, a, a, P(), P(None, FX_AXIS),

@@ -99,10 +99,11 @@ def _fft_tables(m: int):
     w1 = np.exp(-2j * np.pi * np.outer(np.arange(m1), np.arange(k1n)) / m1)
     wmr = np.concatenate([w1.real, -w1.imag], axis=0)   # (2*m1, k1n)
     wmi = np.concatenate([w1.imag, w1.real], axis=0)
-    f32 = lambda a: jnp.asarray(a.astype(np.float32))  # noqa: E731
+    # NUMPY results only: this function may first run inside a jit
+    # trace, and caching jnp arrays created there would cache tracers
     return (m1, m2, w2,
-            f32(np.stack([tw.real, tw.imag])),
-            f32(wmr), f32(wmi))
+            np.stack([tw.real, tw.imag]).astype(np.float32),
+            wmr.astype(np.float32), wmi.astype(np.float32))
 
 
 def _kernel(x_hbm, w_ref, tw_ref, wmr_ref, wmi_ref, wmr_lo_ref,
@@ -338,7 +339,7 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
     if stage2 == "int16":
         # split the stage-2 DFT matrices into int8 hi/lo pairs
         def split14(wm):
-            w14 = np.rint(np.asarray(wm) * 16256.0)
+            w14 = np.rint(wm * 16256.0)
             wh = np.rint(w14 / 128.0)
             wl = w14 - wh * 128.0
             return (jnp.asarray(wh.astype(np.int8)),
@@ -347,6 +348,8 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
         wmi, wmi_lo = split14(wmi)
         w_scale = 1.0 / 16256.0
     else:
+        wmr = jnp.asarray(wmr)
+        wmi = jnp.asarray(wmi)
         zero_lo = jnp.zeros((2 * m1, k1n), jnp.int8)
         wmr_lo = wmi_lo = zero_lo
         w_scale = 1.0
@@ -392,7 +395,8 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(xr, w, tw, wmr, wmi, wmr_lo, wmi_lo, fd, ph, g_tbl)
+    )(xr, w, jnp.asarray(tw), wmr, wmi, wmr_lo, wmi_lo, fd, ph,
+      g_tbl)
     # decode: out[s, 2*k2+c, t, k1] -> spectra[s, t, k2 + m2*k1, c]
     re = out[:, 0::2]                    # (s, m2, B, k1n)
     im = out[:, 1::2]

@@ -40,8 +40,11 @@ def _factor(m: int) -> tuple:
 
 
 @functools.lru_cache(maxsize=8)
-def _tables(m: int):
-    """DFT + twiddle tables, float32 (built once in float64)."""
+def _tables_np(m: int):
+    """DFT + twiddle tables, float32 numpy (built once in float64).
+
+    Cached as NUMPY only: jnp arrays created inside a jit trace would
+    cache tracers."""
     m1, m2 = _factor(m)
     n2 = np.arange(m2)
     k2 = np.arange(m2)
@@ -50,9 +53,14 @@ def _tables(m: int):
     tw = np.exp(-2j * np.pi * np.outer(n1, k2) / m)        # (n1, k2)
     k1 = np.arange(m1 // 2)
     w1 = np.exp(-2j * np.pi * np.outer(k1, n1) / m1)       # (k1, n1)
-    f32 = lambda a: jnp.asarray(a.astype(np.float32))  # noqa: E731
+    f32 = lambda a: a.astype(np.float32)  # noqa: E731
     return (m1, m2, f32(w2.real), f32(w2.imag), f32(tw.real),
             f32(tw.imag), f32(w1.real), f32(w1.imag))
+
+
+def _tables(m: int):
+    m1, m2, *arrs = _tables_np(m)
+    return (m1, m2) + tuple(jnp.asarray(a) for a in arrs)
 
 
 def rfft_mxu(x: jax.Array) -> jax.Array:
