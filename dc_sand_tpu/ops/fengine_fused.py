@@ -108,8 +108,8 @@ def _fft_tables(m: int):
 
 def _kernel(x_hbm, w_ref, tw_ref, wmr_ref, wmi_ref, wmr_lo_ref,
             wmi_lo_ref, frac_ref, phase_ref, gains_ref, out_ref, new_buf,
-            hist_buf, hist_stage, sems, *, taps, taps_pad, tb, nb, m, m1,
-            m2, w2, quantized, stage2, w_scale):
+            hist_buf, hist_stage, z_scratch, sems, *, taps, taps_pad, tb,
+            nb, m, m1, m2, w2, quantized, stage2, w_scale):
     s = pl.program_id(0)
     b = pl.program_id(1)
 
@@ -162,8 +162,6 @@ def _kernel(x_hbm, w_ref, tw_ref, wmr_ref, wmi_ref, wmr_lo_ref,
     fr = jnp.cos(p)[:, None]
     fi = -jnp.sin(p)[:, None]
 
-    zr_rows = []
-    zi_rows = []
     for k2 in range(m2):
         yr = w2[0, 0, k2] * slices[0]
         yi = w2[1, 0, k2] * slices[0]
@@ -177,16 +175,16 @@ def _kernel(x_hbm, w_ref, tw_ref, wmr_ref, wmi_ref, wmr_lo_ref,
         twr, twi = tw_ref[0, k2], tw_ref[1, k2]
         ar = twr * fr - twi * fi          # (tb, m1) via broadcast
         ai = twr * fi + twi * fr
-        zr_rows.append(yr * ar - yi * ai)
-        zi_rows.append(yr * ai + yi * ar)
+        # write Z rows straight into the stage-2 operand scratch
+        # (a list+concat here would hold two extra copies in VMEM)
+        z_scratch[k2 * tb:(k2 + 1) * tb, 0:m1] = yr * ar - yi * ai
+        z_scratch[k2 * tb:(k2 + 1) * tb, m1:2 * m1] = yr * ai + yi * ar
         # fold u into the fringe term for the next k2
         nfr = fr * ur - fi * ui
         nfi = fr * ui + fi * ur
         fr, fi = nfr, nfi
 
-    z_stack = jnp.concatenate(
-        [jnp.concatenate(zr_rows, axis=0),
-         jnp.concatenate(zi_rows, axis=0)], axis=1)  # (m2*tb, 2*m1)
+    z_stack = z_scratch[...]  # (m2*tb, 2*m1)
     if stage2 == "int16":
         # both operands split to int8 hi/lo; 3 int8 MXU dots per
         # component (the lo*lo term is below the noise floor).  W tables
@@ -392,6 +390,7 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
             pltpu.VMEM((2, tb, m), xr.dtype),
             pltpu.VMEM((taps_pad, m), jnp.float32),
             pltpu.VMEM((taps_pad, m), xr.dtype),
+            pltpu.VMEM((m2 * tb, 2 * m1), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
