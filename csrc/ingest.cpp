@@ -47,6 +47,12 @@ struct Ingest {
   int n_slots;
   std::vector<ChunkSlot> slots;
   uint64_t window_tail_chunk = 0;  // oldest chunk index in the window
+  // per-stream coarse delay (read-pointer semantics): a stream delayed
+  // by d has its samples placed d later on the aligned timeline; the
+  // head of the timeline reads as zeros until the delayed data arrives
+  // (identical to the runner's host-side [zeros | chunk] lead-in).
+  std::vector<int64_t> delays;
+  int64_t max_delay = 0;  // retained for validation only
   std::atomic<uint64_t> packets_ok{0}, packets_late{0}, packets_bad{0};
   std::mutex mu;
 
@@ -95,12 +101,29 @@ void* ingest_create(int n_ants, int n_pols, uint64_t chunk_samples,
   ig->n_pols = n_pols;
   ig->chunk_samples = chunk_samples;
   ig->n_slots = n_slots;
+  ig->delays.assign(size_t(n_ants) * n_pols, 0);
   ig->slots.resize(n_slots);
   for (auto& s : ig->slots) s.data.assign(ig->chunk_bytes(), 0);
   return ig;
 }
 
 void ingest_destroy(void* h) { delete static_cast<Ingest*>(h); }
+
+// Configure coarse (integer-sample) delay applied at packet placement —
+// the production home of C2 (read-pointer offset).  Returns 0, or -2 on
+// bad args.  Delays must lie in [0, max_delay].
+int ingest_set_delay(void* h, int ant, int pol, long long delay,
+                     long long max_delay) {
+  auto* ig = static_cast<Ingest*>(h);
+  if (ant < 0 || ant >= ig->n_ants || pol < 0 || pol >= ig->n_pols ||
+      delay < 0 || delay > max_delay) {
+    return -2;
+  }
+  std::lock_guard<std::mutex> lock(ig->mu);
+  ig->max_delay = max_delay;
+  ig->delays[size_t(ant) * ig->n_pols + pol] = delay;
+  return 0;
+}
 
 // Scatter one packet: `n_samples` contiguous samples of (ant, pol)
 // starting at absolute sample index `timestamp`.  format: 0 = int8
@@ -115,6 +138,7 @@ int ingest_submit(void* h, int ant, int pol, uint64_t timestamp,
     return -2;
   }
   std::lock_guard<std::mutex> lock(ig->mu);
+  timestamp += uint64_t(ig->delays[size_t(ant) * ig->n_pols + pol]);
   uint64_t first_chunk = timestamp / ig->chunk_samples;
   uint64_t last_chunk = (timestamp + n_samples - 1) / ig->chunk_samples;
   if (last_chunk < ig->window_tail_chunk) {

@@ -48,6 +48,10 @@ def load_library() -> ctypes.CDLL:
                                   ctypes.c_int]
     lib.ingest_stats.argtypes = [ctypes.c_void_p] + \
         [ctypes.POINTER(ctypes.c_uint64)] * 3
+    lib.ingest_set_delay.restype = ctypes.c_int
+    lib.ingest_set_delay.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_longlong,
+                                     ctypes.c_longlong]
     lib.unpack_10bit.argtypes = [ctypes.c_char_p,
                                  ctypes.POINTER(ctypes.c_int8),
                                  ctypes.c_uint64]
@@ -84,6 +88,16 @@ class NativeIngest:
         self._shape = (n_ants, n_pols, chunk_samples)
         self._h = ctypes.c_void_p(self._lib.ingest_create(
             n_ants, n_pols, chunk_samples, n_slots))
+
+    def set_delay(self, ant: int, pol: int, delay: int,
+                  max_delay: int) -> None:
+        """Coarse delay as packet-placement offset (C2's production
+        home): stream samples land ``delay`` later on the aligned
+        timeline; ``max_delay`` reserves the common lead-in."""
+        r = self._lib.ingest_set_delay(self._h, ant, pol, delay, max_delay)
+        if r != 0:
+            raise ValueError(
+                f"bad delay {delay} (max {max_delay}) for ({ant},{pol})")
 
     def submit(self, ant: int, pol: int, timestamp: int,
                payload: bytes, n_samples: Optional[int] = None,

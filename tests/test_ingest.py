@@ -132,3 +132,76 @@ class TestAssembler:
         dumps, counters = runner.run(source, n_chunks)
         assert counters.dumps == n_chunks
         assert np.any(dumps[0].vis != 0)
+
+
+class TestIngestDelay:
+    def test_delay_matches_host_reference(self):
+        """Ingest-applied coarse delay == the golden read-pointer model:
+        aligned[t] = raw[t + max_delay - d]."""
+        a, p, c, md = 2, 1, 64, 8
+        ing = NativeIngest(a, p, c, n_slots=4)
+        delays = [3, 8]
+        for ai, d in enumerate(delays):
+            ing.set_delay(ai, 0, d, md)
+        rng = np.random.default_rng(60)
+        raw = rng.integers(-100, 100, (a, 2 * c), dtype=np.int8)
+        for ai in range(a):
+            ing.submit(ai, 0, 0, raw[ai].tobytes())
+        chunk, _ = ing.retire(force=True)
+        # aligned[t] = raw[t - d], zeros for t < d (the same stream the
+        # runner's host-delay path produces after its zero lead-in)
+        for ai, d in enumerate(delays):
+            np.testing.assert_array_equal(chunk[ai, 0, :d], 0)
+            np.testing.assert_array_equal(chunk[ai, 0, d:],
+                                          raw[ai, :c - d])
+
+    def test_bad_delay_rejected(self):
+        ing = NativeIngest(1, 1, 32)
+        with pytest.raises(ValueError):
+            ing.set_delay(0, 0, 40, 16)
+        with pytest.raises(ValueError):
+            ing.set_delay(5, 0, 1, 16)
+
+    def test_delay_feeds_runner_like_host_path(self):
+        """Runner with coarse_on_host=False + zero device delay, fed by
+        ingest-delayed chunks, matches the host-delay runner path."""
+        from dc_sand_tpu.config import ChainConfig
+        from dc_sand_tpu.runtime import DelayModel, FXRunner
+        from dc_sand_tpu.windows import pfb_window
+        cfg = ChainConfig(name="t", n_ants=2, n_pols=1, n_chans=32,
+                          n_taps=4, spectra_per_chunk=4,
+                          n_spectra_per_acc=8, run_xengine=True,
+                          apply_delay=True, apply_requant=True)
+        md = 8
+        delays = np.array([[2], [7]])
+        rng = np.random.default_rng(61)
+        n_chunks = 2
+        raw = rng.integers(-100, 100,
+                           (2, 1, n_chunks * cfg.chunk_samples),
+                           dtype=np.int8)
+
+        # path A: runner's host-side coarse delay
+        dm = DelayModel.zeros(2, 1, max_delay=md)
+        dm.d0 = delays.astype(float)
+        ra = FXRunner(cfg, pfb_window(4, 64), delay_model=dm, impl="jnp")
+        dumps_a, _ = ra.run(
+            lambda i: raw[..., i * cfg.chunk_samples:
+                          (i + 1) * cfg.chunk_samples], n_chunks)
+
+        # path B: native ingest applies the same delay at placement;
+        # runner sees a zero delay model
+        ing = NativeIngest(2, 1, cfg.chunk_samples)
+        for ai in range(2):
+            ing.set_delay(ai, 0, int(delays[ai, 0]), md)
+
+        def src(i):
+            for ai in range(2):
+                ing.submit(ai, 0, i * cfg.chunk_samples,
+                           raw[ai, 0, i * cfg.chunk_samples:
+                               (i + 1) * cfg.chunk_samples].tobytes())
+            return ing.retire(force=True)[0]
+
+        rb = FXRunner(cfg, pfb_window(4, 64),
+                      delay_model=DelayModel.zeros(2, 1), impl="jnp")
+        dumps_b, _ = rb.run(src, n_chunks)
+        np.testing.assert_array_equal(dumps_a[0].vis, dumps_b[0].vis)
