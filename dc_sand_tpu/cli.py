@@ -150,6 +150,9 @@ def _run_bench(args) -> int:
         for pat in PATTERNS:
             results.append(bench_membench(pat))
         results.append(bench_h2d())
+    elif args.target == "scaling":
+        from dc_sand_tpu.bench.scaling import bench_scaling
+        results.extend(bench_scaling(max_devices=args.mesh or 8))
     elif args.target == "collectives":
         from dc_sand_tpu.bench.collectives import (bench_collective,
                                                    COLLECTIVES)
@@ -200,7 +203,7 @@ def main(argv=None) -> int:
     pb = sub.add_parser("bench", help="benchmark on the local chip")
     pb.add_argument("target", nargs="?", default="fengine",
                     choices=["fengine", "pfb", "fx", "xcorr", "beamform",
-                             "collectives", "membench"])
+                             "collectives", "membench", "scaling"])
     pb.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler (xprof/perfetto) trace")
     _add_common(pb)
