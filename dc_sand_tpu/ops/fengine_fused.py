@@ -14,7 +14,9 @@ slices only):
 
 1. **FIR** — overlap-save history carried in VMEM, double-buffered DMA
    of the TB new frames (same design as ops/pfb.py), fp32 accumulation
-   via circular rolls.
+   via circular rolls.  (A 7-pre-roll + aligned-slice variant that
+   halves roll traffic measured perf-neutral on v5e — the VPU FMAs
+   dominate, not the rolls.)
 2. **FFT** — Cooley-Tukey ``M = m1*m2`` with ``m1`` lane-aligned
    (256/512): stage 1 is ``m2^2`` statically-weighted vector FMAs over
    lane-aligned slices (VPU; the DFT-m2 weights are baked into the
