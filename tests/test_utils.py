@@ -1,0 +1,108 @@
+"""Host-side utility units: delay-polynomial evaluation, bench-result
+accounting, the regression checker, config hashing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dc_sand_tpu.bench.harness import BenchResult
+from dc_sand_tpu.bench.regress import load_results, main as regress_main
+from dc_sand_tpu.config import ChainConfig, get_config
+from dc_sand_tpu.runtime import DelayModel
+
+
+class TestDelayModel:
+    def test_constant_delay_splits_coarse_frac(self):
+        dm = DelayModel.zeros(1, 1, max_delay=16)
+        dm.d0 = np.array([[5.3]])
+        coarse, frac, phase = dm.evaluate_chunk(0, 4, 128)
+        assert coarse[0, 0] == 5
+        np.testing.assert_allclose(frac[0, 0], 0.3, atol=1e-6)
+        np.testing.assert_array_equal(phase, 0.0)
+
+    def test_linear_drift_rides_frac(self):
+        dm = DelayModel.zeros(1, 1, max_delay=16)
+        dm.d0 = np.array([[2.0]])
+        dm.d1 = np.array([[1e-4]])
+        coarse, frac, _ = dm.evaluate_chunk(t0=1000, n_spectra=3,
+                                            fft_size=100)
+        # coarse frozen at chunk start: round(2.0 + 1e-4*1000) = 2
+        assert coarse[0, 0] == 2
+        # spectrum centres at t0 + (b+0.5)*100
+        expect = 2.0 + 1e-4 * (1000 + (np.arange(3) + 0.5) * 100) - 2
+        np.testing.assert_allclose(frac[0, 0], expect, rtol=1e-5)
+
+    def test_coarse_clipped_to_budget(self):
+        dm = DelayModel.zeros(1, 1, max_delay=4)
+        dm.d0 = np.array([[9.0]])
+        coarse, frac, _ = dm.evaluate_chunk(0, 1, 64)
+        assert coarse[0, 0] == 4          # clipped
+        assert frac[0, 0] == pytest.approx(5.0)  # residual absorbed
+
+    def test_phase_polynomial(self):
+        dm = DelayModel.zeros(1, 1)
+        dm.p0 = np.array([[0.5]])
+        dm.p1 = np.array([[1e-3]])
+        _, _, phase = dm.evaluate_chunk(0, 2, 10)
+        np.testing.assert_allclose(
+            phase[0, 0], 0.5 + 1e-3 * np.array([5.0, 15.0]), rtol=1e-6)
+
+
+class TestBenchResult:
+    def test_roofline_fraction(self):
+        r = BenchResult(name="x", metric="m", value=1.0, unit="u",
+                        wall_s=0.001, bytes_moved=819e9 * 0.001)
+        r.finish(chip="v5e")
+        assert r.hbm_roofline_frac == pytest.approx(1.0, rel=1e-6)
+
+    def test_json_round_trip(self):
+        r = BenchResult(name="x", metric="m", value=2.5, unit="u",
+                        wall_s=0.1).finish(chip="cpu")
+        d = json.loads(r.to_json())
+        assert d["value"] == 2.5 and d["extra"]["chip"] == "cpu"
+
+
+class TestRegress:
+    def _write(self, d, name, ts, value):
+        path = os.path.join(d, f"{name}_abc_{ts}.json")
+        with open(path, "w") as f:
+            json.dump({"name": name, "metric": "m", "value": value,
+                       "unit": "u", "wall_s": 1.0}, f)
+
+    def test_detects_regression(self, tmp_path, capsys):
+        d = str(tmp_path)
+        self._write(d, "k", 100, 10.0)
+        self._write(d, "k", 200, 8.0)   # -20%
+        assert regress_main(d) == 1
+        assert "REGRESSION" in capsys.readouterr().out
+
+    def test_ok_and_improved(self, tmp_path, capsys):
+        d = str(tmp_path)
+        self._write(d, "k", 100, 10.0)
+        self._write(d, "k", 200, 12.0)
+        assert regress_main(d) == 0
+        assert "improved" in capsys.readouterr().out
+
+    def test_ordering_by_timestamp(self, tmp_path):
+        d = str(tmp_path)
+        self._write(d, "k", 300, 3.0)
+        self._write(d, "k", 100, 1.0)
+        runs = load_results(d)["k"]
+        assert [r[1]["value"] for r in runs] == [1.0, 3.0]
+
+
+class TestConfigHash:
+    def test_stable_and_sensitive(self):
+        a = get_config("fx4")
+        assert a.config_hash() == get_config("fx4").config_hash()
+        assert a.config_hash() != a.replace(n_chans=512).config_hash()
+
+    def test_properties(self):
+        c = ChainConfig(name="t", n_ants=64, n_chans=1024, n_taps=16,
+                        spectra_per_chunk=32)
+        assert c.fft_size == 2048
+        assert c.history_len == 15 * 2048
+        assert c.n_baselines == 2080
+        assert c.chunk_samples == 32 * 2048
