@@ -25,8 +25,10 @@ def bench_membench(pattern: str, *, mb: float = 256.0,
     n = int(mb * 1e6 / 4)
     n -= n % (8 * 128)
     if pattern == "copy":
+        # NB: v * 1.0 gets elided to an alias (measured 1.2 TB/s on a
+        # 819 GB/s chip); a non-identity multiplier forces the traffic
         x = jax.jit(lambda: jnp.ones((n,), jnp.float32))()
-        fn = lambda v: v * 1.0  # noqa: E731
+        fn = lambda v: v * 1.0000001  # noqa: E731
         bytes_moved = 2 * n * 4
     elif pattern == "triad":
         x = jax.jit(lambda: jnp.ones((n,), jnp.float32))()
@@ -37,10 +39,12 @@ def bench_membench(pattern: str, *, mb: float = 256.0,
         fn = lambda v: v.astype(jnp.float32) * 0.5  # noqa: E731
         bytes_moved = 4 * n * 1 + 4 * n * 4
     elif pattern == "transpose":
+        # v.T alone is a layout annotation (no data moves); summing the
+        # two orientations forces a real relayout read
         side = 8192
         x = jax.jit(lambda: jnp.ones((side, side), jnp.float32))()
-        fn = lambda v: v.T + 0.0  # noqa: E731
-        bytes_moved = 2 * side * side * 4
+        fn = lambda v: v.T + v  # noqa: E731
+        bytes_moved = 3 * side * side * 4
     else:
         raise ValueError(f"unknown pattern {pattern!r}; choose {PATTERNS}")
     x = jax.block_until_ready(x)
