@@ -26,6 +26,7 @@
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this image).
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -35,10 +36,28 @@
 namespace {
 
 struct ChunkSlot {
-  std::vector<int8_t> data;     // (A * P * C) int8
-  uint64_t start_sample = 0;    // absolute sample index of data[..., 0]
-  uint64_t filled_bytes = 0;
+  std::vector<int8_t> data;       // (A * P * C) int8
+  std::vector<uint64_t> cover;    // byte-coverage bitmap (dedup accounting)
+  uint64_t start_sample = 0;      // absolute sample index of data[..., 0]
+  uint64_t filled_bytes = 0;      // DISTINCT bytes written (never > chunk)
   bool in_window = false;
+
+  // Mark [off, off+len) covered; return the number of newly-covered
+  // bytes.  Duplicate/overlapping packets thus never double-count, so
+  // the fill fraction is exact and completeness is well-defined.
+  uint64_t mark(uint64_t off, uint64_t len) {
+    uint64_t added = 0;
+    uint64_t w0 = off / 64, w1 = (off + len - 1) / 64;
+    for (uint64_t w = w0; w <= w1; ++w) {
+      uint64_t lo = (w == w0) ? off % 64 : 0;
+      uint64_t hi = (w == w1) ? (off + len - 1) % 64 : 63;
+      uint64_t mask = (hi == 63 ? ~uint64_t(0) : ((uint64_t(1) << (hi + 1)) - 1))
+                      & ~((uint64_t(1) << lo) - 1);
+      added += uint64_t(__builtin_popcountll(mask & ~cover[w]));
+      cover[w] |= mask;
+    }
+    return added;
+  }
 };
 
 struct Ingest {
@@ -103,7 +122,10 @@ void* ingest_create(int n_ants, int n_pols, uint64_t chunk_samples,
   ig->n_slots = n_slots;
   ig->delays.assign(size_t(n_ants) * n_pols, 0);
   ig->slots.resize(n_slots);
-  for (auto& s : ig->slots) s.data.assign(ig->chunk_bytes(), 0);
+  for (auto& s : ig->slots) {
+    s.data.assign(ig->chunk_bytes(), 0);
+    s.cover.assign((ig->chunk_bytes() + 63) / 64, 0);
+  }
   return ig;
 }
 
@@ -166,6 +188,7 @@ int ingest_submit(void* h, int ant, int pol, uint64_t timestamp,
       slot.filled_bytes = 0;
       slot.in_window = true;
       std::memset(slot.data.data(), 0, slot.data.size());
+      std::fill(slot.cover.begin(), slot.cover.end(), 0);
     }
     uint64_t c0 = c * ig->chunk_samples, c1 = c0 + ig->chunk_samples;
     uint64_t s0 = std::max(timestamp, c0);
@@ -174,21 +197,28 @@ int ingest_submit(void* h, int ant, int pol, uint64_t timestamp,
                    (s0 - c0);
     std::memcpy(slot.data.data() + off, samples + (s0 - timestamp),
                 s1 - s0);
-    slot.filled_bytes += s1 - s0;
+    slot.filled_bytes += slot.mark(off, s1 - s0);
   }
   ig->packets_ok++;
   return 0;
 }
 
 // Retire the oldest chunk into `out` (chunk_bytes).  Returns fill
-// fraction in ppm (1e6 = complete) or -1 if the window is empty and
-// `force` is 0.  With force=1 an untouched window slot retires as
-// zeros (a wholly-lost chunk).
+// fraction in ppm (1e6 = complete) or -1 if, with force=0, the tail
+// chunk is not yet COMPLETE (every byte covered by a packet) — an
+// out-of-order stream's early packet must not flush a chunk whose
+// remaining packets are still in flight.  With force=1 the tail slot
+// retires regardless (zeros where nothing arrived; an untouched slot is
+// a wholly-lost chunk), which is the real-time path: the cadence clock,
+// not completeness, decides when a chunk ships.
 long long ingest_retire(void* h, int8_t* out, int force) {
   auto* ig = static_cast<Ingest*>(h);
   std::lock_guard<std::mutex> lock(ig->mu);
   ChunkSlot& slot = ig->slot_for(ig->window_tail_chunk);
-  if (!slot.in_window && !force) return -1;
+  if (!force &&
+      (!slot.in_window || slot.filled_bytes != ig->chunk_bytes())) {
+    return -1;
+  }
   if (!slot.in_window) {
     std::memset(out, 0, ig->chunk_bytes());
     ig->window_tail_chunk++;

@@ -4,6 +4,10 @@
 each benchmark under ``bench/results/`` against the previous one and
 flags drops beyond tolerance.  Results files are written per run by
 ``BenchResult.save`` keyed by commit + timestamp.
+
+Comparisons are keyed on ``(name, platform)``: a CPU-mesh harness
+validation run (e.g. the scaling sweep on the virtual device mesh) must
+never gate — or be gated by — real-chip numbers of the same benchmark.
 """
 
 from __future__ import annotations
@@ -17,31 +21,37 @@ from collections import defaultdict
 TOLERANCE = 0.10  # flag >10% throughput drop
 
 
+def _platform_of(rec: dict) -> str:
+    extra = rec.get("extra") or {}
+    return str(extra.get("platform") or extra.get("chip") or "unknown")
+
+
 def load_results(results_dir: str = "bench/results"):
-    by_name = defaultdict(list)
+    by_key = defaultdict(list)
     for path in sorted(glob.glob(os.path.join(results_dir, "*.json"))):
         try:
             with open(path) as f:
                 rec = json.loads(f.readline())
             ts = int(path.rsplit("_", 1)[1].split(".")[0])
-            by_name[rec["name"]].append((ts, rec, path))
+            by_key[(rec["name"], _platform_of(rec))].append((ts, rec, path))
         except (ValueError, KeyError, IndexError):
             continue
-    for name in by_name:
-        by_name[name].sort(key=lambda t: t[0])
-    return by_name
+    for key in by_key:
+        by_key[key].sort(key=lambda t: t[0])
+    return by_key
 
 
 def main(results_dir: str = "bench/results") -> int:
-    by_name = load_results(results_dir)
-    if not by_name:
+    by_key = load_results(results_dir)
+    if not by_key:
         print(f"no results under {results_dir}")
         return 0
     failed = False
-    for name, runs in sorted(by_name.items()):
+    for (name, platform), runs in sorted(by_key.items()):
         _, latest, _ = runs[-1]
+        label = f"{name} [{platform}]"
         if len(runs) < 2:
-            print(f"{name}: {latest['value']:.4g} {latest['unit']} "
+            print(f"{label}: {latest['value']:.4g} {latest['unit']} "
                   "(first recording)")
             continue
         _, prev, _ = runs[-2]
@@ -52,7 +62,7 @@ def main(results_dir: str = "bench/results") -> int:
             failed = True
         elif ratio > 1 + TOLERANCE:
             mark = "improved"
-        print(f"{name}: {latest['value']:.4g} {latest['unit']} "
+        print(f"{label}: {latest['value']:.4g} {latest['unit']} "
               f"({ratio - 1:+.1%} vs prev) [{mark}]")
     return 1 if failed else 0
 

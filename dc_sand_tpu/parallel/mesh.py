@@ -40,6 +40,20 @@ def build_mesh(n_devices: Optional[int] = None,
         else:
             devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            # not enough on the default platform: fall back to the
+            # virtual CPU pool (the dev-box path) rather than silently
+            # building a smaller mesh than requested
+            try:
+                cpu = jax.devices("cpu")
+            except RuntimeError:
+                cpu = []
+            if len(cpu) >= n_devices:
+                devices = cpu
+            else:
+                raise ValueError(
+                    f"requested {n_devices} devices, have {len(devices)}"
+                    f" ({len(cpu)} cpu)")
         devices = devices[:n_devices]
     n = len(devices)
     if n % time_shards:

@@ -1,8 +1,17 @@
 """Checkpoint / resume (SURVEY.md §5): the streaming state is tiny —
-FIR-history tail, partial accumulators, stream position — saved as npz at
-any chunk boundary; resume = reload + continue the chunk loop."""
+delay polynomials, gains, beam weights, FIR-history tail, partial
+accumulators, stream position — saved as npz at any chunk boundary;
+resume = reload + continue the chunk loop.
+
+The delay/weight state is part of the carry on purpose: a resume with a
+*drifting* delay model (d1 != 0) must keep drifting from where it left
+off, not silently re-zero the polynomials — the golden-equivalence test
+drives exactly that case across a save/load boundary.
+"""
 
 from __future__ import annotations
+
+import dataclasses
 
 import numpy as np
 
@@ -10,6 +19,8 @@ __all__ = ["save_state", "load_state"]
 
 
 def save_state(runner, path: str) -> None:
+    dm = runner.delay_model
+    c = runner.counters
     np.savez(
         path,
         history=np.asarray(runner.history),
@@ -18,9 +29,17 @@ def save_state(runner, path: str) -> None:
         chunk_idx=runner.chunk_idx,
         acc_spectra=runner._acc_spectra,
         acc_integrated=runner._acc_integrated,
+        acc_first_chunk=runner._acc_first_chunk,
         config_hash=runner.cfg.config_hash(),
         host_tail=(runner._host_tail if runner._host_tail is not None
                    else np.zeros(0, np.int8)),
+        # delay/weight model state (SURVEY.md §5 checkpoint row)
+        delay_d0=dm.d0, delay_d1=dm.d1, delay_p0=dm.p0, delay_p1=dm.p1,
+        delay_max=dm.max_delay,
+        gains=np.asarray(runner.gains),
+        weights=np.asarray(runner.weights),
+        counters=np.array([c.chunks_in, c.chunks_dropped, c.samples_in,
+                           c.spectra_out, c.dumps], np.int64),
     )
 
 
@@ -39,5 +58,20 @@ def load_state(runner, path: str) -> None:
     runner.chunk_idx = int(z["chunk_idx"])
     runner._acc_spectra = int(z["acc_spectra"])
     runner._acc_integrated = int(z["acc_integrated"])
+    if "acc_first_chunk" in z.files:
+        runner._acc_first_chunk = int(z["acc_first_chunk"])
     if "host_tail" in z.files and z["host_tail"].size:
         runner._host_tail = z["host_tail"].copy()
+    if "delay_d0" in z.files:
+        dm = runner.delay_model
+        dm.d0 = z["delay_d0"].copy()
+        dm.d1 = z["delay_d1"].copy()
+        dm.p0 = z["delay_p0"].copy()
+        dm.p1 = z["delay_p1"].copy()
+        dm.max_delay = int(z["delay_max"])
+        runner.gains = jnp.asarray(z["gains"])
+        runner.weights = jnp.asarray(z["weights"])
+        c = z["counters"]
+        runner.counters = dataclasses.replace(
+            runner.counters, chunks_in=int(c[0]), chunks_dropped=int(c[1]),
+            samples_in=int(c[2]), spectra_out=int(c[3]), dumps=int(c[4]))

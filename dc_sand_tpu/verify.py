@@ -26,40 +26,69 @@ SNR_BOUND = 50.0
 __all__ = ["verify_config", "SNR_BOUND"]
 
 
-def _golden_spectra(cfg, stream, dm, gains, n_chunks, window):
-    lead = dm.max_delay + (cfg.n_taps - 1) * cfg.fft_size
+def _golden_coarse_stream(cfg, stream, dm, n_chunks):
+    """Per-chunk read-pointer coarse delay, replicating the runner's host
+    feed path bitwise: chunk i is sliced from [zeros(md) | stream] at
+    offset ``i*c + md - coarse_i`` with the coarse delay frozen at the
+    chunk start.  (A single whole-stream coarse delay is only correct
+    for a non-drifting model — this oracle stays right for d1 != 0.)"""
+    md = dm.max_delay
+    c_samp = cfg.chunk_samples
     xg = np.concatenate(
-        [np.zeros(stream.shape[:-1] + (lead,)), stream], axis=-1)
-    fracs, phases, coarse = [], [], None
+        [np.zeros(stream.shape[:-1] + (md,), stream.dtype), stream], -1)
+    out = np.empty_like(stream)
     for i in range(n_chunks):
-        c, f, p = dm.evaluate_chunk(i * cfg.chunk_samples,
+        coarse, _, _ = dm.evaluate_chunk(
+            i * c_samp, cfg.spectra_per_chunk, cfg.fft_size)
+        for idx in np.ndindex(stream.shape[:-1]):
+            off = i * c_samp + md - int(coarse[idx])
+            out[idx][i * c_samp:(i + 1) * c_samp] = xg[idx][off:off + c_samp]
+    return out
+
+
+def _golden_spectra(cfg, stream, dm, gains, n_chunks, window):
+    fracs, phases = [], []
+    for i in range(n_chunks):
+        _, f, p = dm.evaluate_chunk(i * cfg.chunk_samples,
                                     cfg.spectra_per_chunk, cfg.fft_size)
-        coarse = c
         fracs.append(f)
         phases.append(p)
+    if cfg.apply_delay:
+        stream = _golden_coarse_stream(cfg, stream, dm, n_chunks)
+    lead = (cfg.n_taps - 1) * cfg.fft_size
+    xg = np.concatenate(
+        [np.zeros(stream.shape[:-1] + (lead,)), stream], axis=-1)
     if not cfg.apply_delay:
         return golden.f_engine(xg, window, cfg.n_taps, cfg.n_chans,
                                gains=gains if cfg.apply_requant else None)
     return golden.f_engine(
-        xg, window, cfg.n_taps, cfg.n_chans, coarse_delays=coarse,
-        max_delay=dm.max_delay, frac_delay=np.concatenate(fracs, -1),
+        xg, window, cfg.n_taps, cfg.n_chans,
+        frac_delay=np.concatenate(fracs, -1),
         phase=np.concatenate(phases, -1),
         gains=gains if cfg.apply_requant else None)
 
 
 def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
-                  mesh=None, impl: str = "auto",
-                  seed: int = 0) -> Dict[str, float]:
+                  mesh=None, impl: str = "auto", seed: int = 0,
+                  spectra_per_chunk: Optional[int] = 16,
+                  n_spectra_per_acc: Optional[int] = 32) -> Dict[str, float]:
     """Run config ``name`` end-to-end and return per-output SNRs vs golden.
 
     ``scale``: optionally reduce n_chans (CPU-friendly); None = full size.
     ``mesh``: run the SPMD path over this mesh (config 4/5's sharded mode).
+    ``spectra_per_chunk`` / ``n_spectra_per_acc``: clamp the streaming
+    cadence for test-speed (defaults); pass ``None`` to run the config's
+    own production cadence (e.g. fx64 at 1024 spectra per dump).
     """
     cfg = get_config(name)
     if scale is not None:
         cfg = scaled_for_test(cfg, n_chans=scale)
-    cfg = cfg.replace(spectra_per_chunk=min(cfg.spectra_per_chunk, 16),
-                      n_spectra_per_acc=min(cfg.n_spectra_per_acc, 32))
+    if spectra_per_chunk is not None:
+        cfg = cfg.replace(spectra_per_chunk=min(cfg.spectra_per_chunk,
+                                                spectra_per_chunk))
+    if n_spectra_per_acc is not None:
+        cfg = cfg.replace(n_spectra_per_acc=min(cfg.n_spectra_per_acc,
+                                                n_spectra_per_acc))
     rng = np.random.default_rng(seed)
     a, p, k = cfg.n_ants, cfg.n_pols, cfg.n_chans
     window = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)

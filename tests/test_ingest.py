@@ -84,6 +84,36 @@ class TestAssembler:
         ing = NativeIngest(1, 1, 32, n_slots=2)
         assert ing.submit(0, 0, 32 * 10, bytes(32)) == -3
 
+    def test_incomplete_chunk_not_retired_without_force(self):
+        """An early out-of-order packet must not flush the tail chunk:
+        non-force retire waits for COMPLETE coverage (round-1 ADVICE)."""
+        a, p, c = 1, 1, 64
+        ing = NativeIngest(a, p, c)
+        ref = np.arange(-32, 32, dtype=np.int8)
+        assert ing.submit(0, 0, 32, ref[32:].tobytes()) == 0  # 2nd half only
+        chunk, _ = ing.retire()                  # incomplete -> blocked
+        assert chunk is None
+        assert ing.submit(0, 0, 0, ref[:32].tobytes()) == 0   # rest arrives
+        chunk, fill = ing.retire()
+        assert fill == 1.0
+        np.testing.assert_array_equal(chunk[0, 0], ref)
+
+    def test_duplicate_packets_do_not_overcount(self):
+        """Overlapping/duplicate payloads are deduplicated in the fill
+        accounting: fraction never exceeds 1.0 and completeness means
+        distinct coverage, not byte-count."""
+        a, p, c = 1, 1, 64
+        ing = NativeIngest(a, p, c)
+        ref = np.arange(-32, 32, dtype=np.int8)
+        assert ing.submit(0, 0, 0, ref[:48].tobytes()) == 0
+        assert ing.submit(0, 0, 16, ref[16:48].tobytes()) == 0  # duplicate
+        chunk, _ = ing.retire()
+        assert chunk is None                     # still missing [48:64)
+        assert ing.submit(0, 0, 48, ref[48:].tobytes()) == 0
+        chunk, fill = ing.retire()
+        assert fill == 1.0
+        np.testing.assert_array_equal(chunk[0, 0], ref)
+
     def test_lost_chunk_retires_as_zeros(self):
         ing = NativeIngest(1, 1, 16, n_slots=2)
         none_chunk, _ = ing.retire()

@@ -130,6 +130,82 @@ class TestRunnerFX:
 
         np.testing.assert_array_equal(dumps_a[1].vis, dumps_b[0].vis)
 
+    def test_checkpoint_resume_with_drifting_delay(self, tmp_path):
+        """Resume across a checkpoint with a DRIFTING delay model
+        (d1 != 0, coarse delay changes mid-stream): the checkpoint must
+        carry the polynomials — the resumed runner is built with a
+        zeroed model and still reproduces the straight run bitwise."""
+        cfg = _cfg()
+        dm = DelayModel.zeros(cfg.n_ants, cfg.n_pols, max_delay=8)
+        dm.d0 += 2.0
+        dm.d1 += 0.003   # coarse crosses 2 -> 7 over four 512-samp chunks
+        dm.p1 += 1e-5
+        stream = _make_stream(cfg, 4, seed=12)
+        w = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
+        src = _source(stream, cfg)
+
+        import copy
+        straight = FXRunner(cfg, w, delay_model=copy.deepcopy(dm),
+                            impl="jnp")
+        dumps_a, _ = straight.run(src, 4)
+
+        first = FXRunner(cfg, w, delay_model=copy.deepcopy(dm), impl="jnp")
+        first.run(src, 2)
+        ckpt = str(tmp_path / "state.npz")
+        save_state(first, ckpt)
+
+        # fresh-process semantics: the resumed runner starts with a
+        # zeroed delay model; load_state must restore the real one
+        resumed = FXRunner(
+            cfg, w,
+            delay_model=DelayModel.zeros(cfg.n_ants, cfg.n_pols,
+                                         max_delay=8),
+            impl="jnp")
+        load_state(resumed, ckpt)
+        assert resumed.delay_model.d1[0, 0] == pytest.approx(0.003)
+        assert resumed.counters.chunks_in == 2
+        dumps_b, _ = resumed.run(src, 2)
+        np.testing.assert_array_equal(dumps_a[1].vis, dumps_b[0].vis)
+
+    def test_drifting_coarse_matches_golden(self):
+        """d1 != 0 end-to-end vs the per-chunk-coarse golden oracle
+        (the whole-stream single-coarse oracle would be wrong here —
+        round-1 ADVICE item)."""
+        from dc_sand_tpu.verify import _golden_coarse_stream
+        cfg = _cfg()
+        n_chunks = 4
+        dm = DelayModel.zeros(cfg.n_ants, cfg.n_pols, max_delay=8)
+        dm.d0 += 1.0
+        dm.d1 += 0.003
+        gains = np.full(cfg.n_chans, 0.05) + 0j
+        gains_ri = np.stack([gains.real, gains.imag], -1).astype(np.float32)
+        stream = _make_stream(cfg, n_chunks, seed=13)
+        w = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
+        runner = FXRunner(cfg, w, delay_model=dm, gains=gains_ri,
+                          impl="jnp")
+        dumps, _ = runner.run(_source(stream, cfg), n_chunks)
+
+        delayed = _golden_coarse_stream(cfg, stream, dm, n_chunks)
+        fracs, phases = [], []
+        for i in range(n_chunks):
+            _, f, p = dm.evaluate_chunk(i * cfg.chunk_samples,
+                                        cfg.spectra_per_chunk,
+                                        cfg.fft_size)
+            fracs.append(f)
+            phases.append(p)
+        lead = (cfg.n_taps - 1) * cfg.fft_size
+        xg = np.concatenate(
+            [np.zeros(delayed.shape[:-1] + (lead,)), delayed], axis=-1)
+        spec_g = golden.f_engine(
+            xg, w, cfg.n_taps, cfg.n_chans,
+            frac_delay=np.concatenate(fracs, -1),
+            phase=np.concatenate(phases, -1), gains=gains)
+        bpa = cfg.n_spectra_per_acc
+        for d_i, dump in enumerate(dumps):
+            vis_g = golden.xcorr(spec_g[:, :, d_i * bpa:(d_i + 1) * bpa])
+            vis = dump.vis[..., 0] + 1j * dump.vis[..., 1]
+            assert snr_db(vis_g, vis) > 50
+
     def test_checkpoint_wrong_config_rejected(self, tmp_path):
         cfg = _cfg()
         w = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)

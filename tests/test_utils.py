@@ -89,8 +89,26 @@ class TestRegress:
         d = str(tmp_path)
         self._write(d, "k", 300, 3.0)
         self._write(d, "k", 100, 1.0)
-        runs = load_results(d)["k"]
+        runs = load_results(d)[("k", "unknown")]
         assert [r[1]["value"] for r in runs] == [1.0, 3.0]
+
+    def test_platforms_never_compared(self, tmp_path, capsys):
+        """A slow CPU-mesh record must not flag a regression against an
+        earlier TPU record of the same benchmark (VERDICT r1 weak #8)."""
+        d = str(tmp_path)
+        path = os.path.join(d, "k_abc_100.json")
+        with open(path, "w") as f:
+            json.dump({"name": "k", "metric": "m", "value": 100.0,
+                       "unit": "u", "wall_s": 1.0,
+                       "extra": {"chip": "v5e"}}, f)
+        path = os.path.join(d, "k_abc_200.json")
+        with open(path, "w") as f:
+            json.dump({"name": "k", "metric": "m", "value": 0.1,
+                       "unit": "u", "wall_s": 1.0,
+                       "extra": {"platform": "cpu"}}, f)
+        assert regress_main(d) == 0
+        out = capsys.readouterr().out
+        assert "[v5e]" in out and "[cpu]" in out
 
 
 class TestConfigHash:
