@@ -57,12 +57,15 @@ def f_engine(x: jax.Array, window: jax.Array, taps: int, n_chans: int, *,
     m = 2 * n_chans
     if coarse_delays is not None:
         x = coarse_delay(x, coarse_delays, max_delay)
-    if impl in ("fused", "auto"):
+    if impl in ("fused", "fused_interpret", "auto"):
         # the fused Pallas kernel (FIR+FFT+phase+requant in VMEM) is the
         # fast path on TPU; it falls back internally for untileable
-        # shapes, and "auto" only takes it on a TPU-like platform
+        # shapes, and "auto" only takes it on a TPU-like platform.
+        # "fused_interpret" runs the same kernel through the Pallas
+        # interpreter — the CPU-mesh path for exercising the Pallas
+        # program under shard_map exactly as it will run on a pod.
         from dc_sand_tpu.ops._dispatch import _default_platform
-        if impl == "fused" or _default_platform() in ("tpu", "axon"):
+        if impl != "auto" or _default_platform() in ("tpu", "axon"):
             from dc_sand_tpu.ops.fengine_fused import fengine_fused
             b_out = x.shape[-1] // m - (taps - 1)
             lead = x.shape[:-1]
@@ -77,7 +80,8 @@ def f_engine(x: jax.Array, window: jax.Array, taps: int, n_chans: int, *,
                     g = c2ri(g)
                 g = jnp.broadcast_to(g, (n_chans, 2))
             return fengine_fused(x, window, taps, n_chans, frac_delay=fd,
-                                 phase=ph, gains=g)
+                                 phase=ph, gains=g,
+                                 interpret=(impl == "fused_interpret"))
         impl = "jnp"
     fir = ops.pfb_fir(x, window, taps, m, impl=impl)
     spec = ops.channelize(fir, n_chans)

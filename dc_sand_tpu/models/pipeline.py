@@ -122,6 +122,10 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
             in_specs=(a, vis_spec, a, a, a, a, P(), P(None, FX_AXIS),
                       P()),
             out_specs=out_specs,
+            # pallas_call (the fused F-engine) can't declare its varying
+            # mesh axes, so static VMA checking must be off for the
+            # Pallas-under-shard_map path (the pod program)
+            check_vma=False,
         )
     donate_argnums = (0, 1) if donate else ()
     return jax.jit(fn, donate_argnums=donate_argnums)

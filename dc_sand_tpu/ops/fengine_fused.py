@@ -17,34 +17,48 @@ slices only):
    via circular rolls.  (A 7-pre-roll + aligned-slice variant that
    halves roll traffic measured perf-neutral on v5e — the VPU FMAs
    dominate, not the rolls.)
-2. **FFT** — Cooley-Tukey ``M = m1*m2`` with ``m1`` lane-aligned
-   (256/512): stage 1 is ``m2^2`` statically-weighted vector FMAs over
-   lane-aligned slices (VPU; the DFT-m2 weights are baked into the
-   program as scalars); twiddles ride a per-k2 loop; stage 2 is ONE
-   full-width MXU matmul per component — sublane-stacked ``[Zr | Zi]``
-   ``(m2*TB, 2*m1)`` against prebuilt ``[w1r^T; -w1i^T]`` /
-   ``[w1i^T; w1r^T]`` matrices (fp32 HIGHEST; Mosaic supports only
-   DEFAULT/HIGHEST, and DEFAULT's bf16 passes land at ~51 dB — too
-   close to the contract bound).
+2. **FFT** — Cooley-Tukey ``M = m1*m2`` with ``m1`` lane-aligned:
+   stage 1 is a statically-unrolled radix-2 FFT over the ``m2``
+   lane-aligned slices (generated at trace time by ``_dft_tiles`` with
+   trivial-twiddle and real-input elision — ~m2*log2(m2) tile ops on the
+   VPU, replacing round-1's m2^2 weighted-sum loop, the measured VPU
+   bottleneck at 4k channels); the k2 twiddle rows then multiply each
+   stage-1 output; stage 2 is one full-width MXU matmul per k2-group —
+   sublane-stacked ``[Zr | Zi]`` ``(mg*TB, 2*m1)`` against prebuilt
+   ``[w1r^T; -w1i^T]`` / ``[w1i^T; w1r^T]`` matrices.  ``m1`` prefers
+   256 so the stage-2 output width k1=m1/2 is exactly one 128-lane tile
+   and the per-sample stage-2 FLOPs (= 4*m1) stay minimal.
 3. **Fine delay + fringe** — the phasor factorises as
-   ``e^(-i p_t) * u^k2 * v^k1`` (``u = e^(-i 2pi d_t/M)``, ``v=u^m2``):
-   the k2 part folds into the twiddle loop as a complex scalar update,
-   the k1 part is direct small-angle cos/sin over the lane index.
+   ``e^(-i p_t) * u^k2 * v^k1`` (``u = e^(-i 2pi d_t/m)``, ``v=u^m2``):
+   both parts apply AFTER stage 2 on the k1n-wide outputs (the complex
+   scalar commutes through the linear stage-2): the k2 part is a
+   per-spectrum complex recurrence, the k1 part a direct small-angle
+   cos/sin table over the lane index — half the elementwise work of
+   applying the phasor on the m1-wide stage-2 inputs.
 4. **Requant** — complex gain, round-half-even, saturate, int8.
+
+Stage-2 precision modes (``stage2=``): ``"fp32"`` — fp32 HIGHEST
+dot_general; ``"bf16x3"`` — both operands split hi/lo into bfloat16 and
+3 bf16 MXU passes (zh*wh + zh*wl + zl*wh) accumulate in fp32: ~16-bit
+effective mantissa (>90 dB stage SNR), at the bf16 MXU rate;
+``"int16"`` — hi/lo int8 split, int8-MXU dots (opt-in, thinner margin).
 
 Output layout: ``2*m2`` planes ``(S, 2*m2, B, m1/2)`` — (re, im) per
 k2 — because a trailing (re,im) axis of 2 cannot be tiled; the wrapper
 decodes to the natural-order ``(..., B, K, 2)`` wire format (channel
 ``k = k2 + m2*k1``).
 
-Measured v5e: 13.9 Gsamp/s/chip full chain (2.6x the unfused XLA path,
-above the 13.7 Gsamp/s real-time floor); >80 dB end-to-end on hardware,
-exact vs golden in interpreter mode.
+The ``groups`` tiling parameter processes k2 in ``groups`` sequential
+chunks through a ``m2/groups``-sized Z scratch, trading one big stage-2
+matmul for several to cut peak VMEM — this is what lifts the 4k-channel
+(m=8192) tile from tb=32 (round-1's VMEM cap, 0.58x real time) to
+tb=64.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -57,14 +71,14 @@ __all__ = ["fengine_fused"]
 _P = jax.lax.Precision.HIGHEST
 
 # spectra per grid step: first entry dividing the chunk's spectra count
-# wins (measured on v5e at 1k chans: tb=128 13.9 Gsamp/s, 64: 13.6,
-# 32: 12.7 — bigger tiles amortise better until VMEM runs out)
+# and fitting the VMEM model wins (measured on v5e at 1k chans: tb=128
+# 13.9 Gsamp/s, 64: 13.6, 32: 12.7 — bigger tiles amortise better until
+# VMEM runs out)
 _TB_CANDIDATES = (128, 64, 32, 16, 8)
+_GROUP_CANDIDATES = (1, 2, 4)
+_VMEM_BUDGET = 12 * 1024 * 1024
 
-# stage-2 DFT matmul mode: "fp32" = dot_general fp32 HIGHEST (3 bf16
-# passes per dot); "int16" = split both operands into int8 hi/lo and run
-# int8 MXU dots (2x the bf16 rate; ~2x faster stage 2, ~90 dB stage
-# accuracy).  Selected per call via fengine_fused(stage2=...).
+# stage-2 DFT matmul mode (see module docstring)
 _DEFAULT_STAGE2 = "fp32"
 
 
@@ -72,38 +86,130 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _factor(m: int):
-    """m = m1 * m2 with m1 a lane-aligned power of two (the stage-2
-    matmul contracts 2*m1 and emits k1 = m1/2 outputs at full MXU
-    width) and m2 small (stage 1 runs as m2^2 scalar-weighted vector
-    FMAs on the VPU)."""
-    for m1 in (512, 256, 128):
-        if m % m1 == 0 and 8 <= m // m1 <= 32:
-            return m1, m // m1
+def _factor(m: int, m1: int = None):
+    """m = m1 * m2 with m1 lane-aligned (stage-2 matmul contracts 2*m1
+    and emits k1 = m1/2 outputs; m1=256 makes that exactly one 128-lane
+    tile) and m2 a power of two (stage 1 is a statically-unrolled
+    radix-2 FFT across the m2 lane-chunks)."""
+    cands = (m1,) if m1 else (256, 512, 128)
+    for c in cands:
+        m2 = m // c if c and m % c == 0 else 0
+        if m2 >= 4 and m2 <= 64 and (m2 & (m2 - 1)) == 0:
+            return c, m2
     raise ValueError(f"FFT size {m} not supported by the fused kernel")
 
 
-def _fft_tables(m: int):
-    """Stage-1 scalar weights + twiddle/stage-2 matrices + layouts.
+# ----------------------------------------------------------------------
+# Stage-1 FFT codegen: radix-2 DIT on (tb, m1) tile values, unrolled at
+# trace time.  Values are (re, im) pairs; None = exactly-zero component
+# (real inputs), so dead multiplies/adds are never emitted.  Twiddle
+# scalars are python floats baked into the program (same scheme as
+# round-1's w2 table, but O(m2 log m2) ops instead of O(m2^2)).
+# ----------------------------------------------------------------------
 
-    Returns (m1, m2, w2 numpy (2, m2, m2) STATIC python scalars,
-    tw (2, m2, m1) jnp, wmr/wmi (2*m1, m1//2) jnp) where
-    wmr = [w1r^T ; -w1i^T], wmi = [w1i^T ; w1r^T] so that with
-    Zc = [Zr | Zi] (rows stacked over k2): Cr = Zc @ wmr, Ci = Zc @ wmi.
+def _snap(x: float) -> float:
+    for v in (0.0, 1.0, -1.0):
+        if abs(x - v) < 1e-12:
+            return v
+    return float(x)
+
+
+def _neg(x):
+    return None if x is None else -x
+
+
+def _adds(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
+
+
+def _subs(a, b):
+    if b is None:
+        return a
+    if a is None:
+        return -b
+    return a - b
+
+
+def _cadd(u, v):
+    return (_adds(u[0], v[0]), _adds(u[1], v[1]))
+
+
+def _csub(u, v):
+    return (_subs(u[0], v[0]), _subs(u[1], v[1]))
+
+
+def _cmul_static(v, wr: float, wi: float):
+    """v * (wr + i*wi) with trivial-weight and zero-component elision."""
+    re, im = v
+    if wi == 0.0:
+        if wr == 1.0:
+            return v
+        if wr == -1.0:
+            return (_neg(re), _neg(im))
+        return (None if re is None else wr * re,
+                None if im is None else wr * im)
+    if wr == 0.0:
+        if wi == 1.0:
+            return (_neg(im), re)
+        if wi == -1.0:
+            return (im, _neg(re))
+        return (None if im is None else (-wi) * im,
+                None if re is None else wi * re)
+    rr = None if re is None else wr * re
+    ii = None if im is None else wi * im
+    ri = None if re is None else wi * re
+    ir = None if im is None else wr * im
+    return (_subs(rr, ii), _adds(ri, ir))
+
+
+def _dft_tiles(vals):
+    """Forward DFT (e^{-2pi i nk/N}) of a list of (re, im) tile pairs;
+    natural-order in and out (recursive DIT)."""
+    n = len(vals)
+    if n == 1:
+        return list(vals)
+    ev = _dft_tiles(vals[0::2])
+    od = _dft_tiles(vals[1::2])
+    out = [None] * n
+    for k in range(n // 2):
+        ang = -2.0 * math.pi * k / n
+        t = _cmul_static(od[k], _snap(math.cos(ang)), _snap(math.sin(ang)))
+        out[k] = _cadd(ev[k], t)
+        out[k + n // 2] = _csub(ev[k], t)
+    return out
+
+
+def _cmul_rt(v, wr, wi):
+    """v * (wr + i*wi) for runtime vector weights, zero-component elided."""
+    re, im = v
+    rr = None if re is None else re * wr
+    ii = None if im is None else im * wi
+    ri = None if re is None else re * wi
+    ir = None if im is None else im * wr
+    return (_subs(rr, ii), _adds(ri, ir))
+
+
+def _fft_tables(m: int, m1_pref: int = None):
+    """Twiddle rows + stage-2 DFT matrices.
+
+    Returns (m1, m2, tw (2, m2, m1) np.float32, wmr/wmi (2*m1, m1//2)
+    np.float32) where wmr = [w1r^T ; -w1i^T], wmi = [w1i^T ; w1r^T] so
+    that with Zc = [Zr | Zi] (rows stacked over k2): Cr = Zc @ wmr,
+    Ci = Zc @ wmi.  NUMPY results only: this function may first run
+    inside a jit trace, and caching jnp arrays created there would cache
+    tracers.
     """
-    m1, m2 = _factor(m)
+    m1, m2 = _factor(m, m1_pref)
     k1n = m1 // 2
-    w2 = np.stack([
-        np.cos(2 * np.pi * np.outer(np.arange(m2), np.arange(m2)) / m2),
-        -np.sin(2 * np.pi * np.outer(np.arange(m2), np.arange(m2)) / m2),
-    ]).astype(np.float64)
     tw = np.exp(-2j * np.pi * np.outer(np.arange(m2), np.arange(m1)) / m)
     w1 = np.exp(-2j * np.pi * np.outer(np.arange(m1), np.arange(k1n)) / m1)
     wmr = np.concatenate([w1.real, -w1.imag], axis=0)   # (2*m1, k1n)
     wmi = np.concatenate([w1.imag, w1.real], axis=0)
-    # NUMPY results only: this function may first run inside a jit
-    # trace, and caching jnp arrays created there would cache tracers
-    return (m1, m2, w2,
+    return (m1, m2,
             np.stack([tw.real, tw.imag]).astype(np.float32),
             wmr.astype(np.float32), wmi.astype(np.float32))
 
@@ -111,7 +217,7 @@ def _fft_tables(m: int):
 def _kernel(x_hbm, w_ref, tw_ref, wmr_ref, wmi_ref, wmr_lo_ref,
             wmi_lo_ref, frac_ref, phase_ref, gains_ref, out_ref, new_buf,
             hist_buf, hist_stage, z_scratch, sems, *, taps, taps_pad, tb,
-            nb, m, m1, m2, w2, quantized, stage2, w_scale):
+            nb, m, m1, m2, groups, quantized, stage2, w_scale):
     s = pl.program_id(0)
     b = pl.program_id(1)
 
@@ -145,83 +251,23 @@ def _kernel(x_hbm, w_ref, tw_ref, wmr_ref, wmi_ref, wmr_lo_ref,
         fir = fir + w_ref[t, 0] * pltpu.roll(buf, rows - t, axis=0)[0:tb]
     hist_buf[...] = new_f32[tb - taps_pad:tb]
 
-    # ---------------- FFT: VPU stage-1 + one MXU stage-2 --------------
+    # ---------------- FFT: VPU radix stage-1 + MXU stage-2 ------------
     # sample n = n1 + m1*n2; X[k2 + m2*k1] = sum_n1 W_m1^(k1 n1) *
-    #   tw[n2->k2] * sum_n2 fir[n1 + m1*n2] W_m2^(n2 k2).
-    # Stage 1 uses lane-aligned slices fir[:, m1*n2 : m1*(n2+1)] with
-    # STATIC scalar weights (w2 is baked into the program), so no
-    # reshapes/transposes ever touch Mosaic.
-    slices = [fir[:, m1 * n2:m1 * (n2 + 1)] for n2 in range(m2)]
+    #   tw[n1,k2] * Y[k2, n1], Y[k2] = sum_n2 fir[n1 + m1*n2] W_m2^(n2 k2).
+    # Stage 1 is the statically-unrolled radix-2 FFT over the m2
+    # lane-aligned slices; no reshapes/transposes ever touch Mosaic.
+    slices = [(fir[:, m1 * n2:m1 * (n2 + 1)], None) for n2 in range(m2)]
+    yy = _dft_tiles(slices)
 
-    # fringe + k2-part of the fine-delay phasor, updated per k2:
-    # phasor(k) = e^(-i p_t) * u^k2 * v^k1,  u = e^(-i a), v = u^m2,
-    # a = 2*pi*d_t/m.
+    # fine-delay + fringe phasor: phasor(k) = e^(-i p_t) * u^k2 * v^k1,
+    # u = e^(-i a), v = u^m2, a = 2*pi*d_t/m.  Applied post-stage-2.
     d = frac_ref[0, 0, 0]    # (tb,)
     p = phase_ref[0, 0, 0]   # (tb,)
     ang = -(2.0 * jnp.pi / m) * d
     ur = jnp.cos(ang)[:, None]
     ui = jnp.sin(ang)[:, None]
-    fr = jnp.cos(p)[:, None]
-    fi = -jnp.sin(p)[:, None]
-
-    for k2 in range(m2):
-        yr = w2[0, 0, k2] * slices[0]
-        yi = w2[1, 0, k2] * slices[0]
-        for n2 in range(1, m2):
-            cr, ci = w2[0, n2, k2], w2[1, n2, k2]
-            if cr:
-                yr = yr + cr * slices[n2]
-            if ci:
-                yi = yi + ci * slices[n2]
-        # twiddle row (m1,) * k2-phasor (tb, 1), complex multiply
-        twr, twi = tw_ref[0, k2], tw_ref[1, k2]
-        ar = twr * fr - twi * fi          # (tb, m1) via broadcast
-        ai = twr * fi + twi * fr
-        # write Z rows straight into the stage-2 operand scratch
-        # (a list+concat here would hold two extra copies in VMEM)
-        z_scratch[k2 * tb:(k2 + 1) * tb, 0:m1] = yr * ar - yi * ai
-        z_scratch[k2 * tb:(k2 + 1) * tb, m1:2 * m1] = yr * ai + yi * ar
-        # fold u into the fringe term for the next k2
-        nfr = fr * ur - fi * ui
-        nfi = fr * ui + fi * ur
-        fr, fi = nfr, nfi
-
-    z_stack = z_scratch[...]  # (m2*tb, 2*m1)
-    if stage2 == "int16":
-        # both operands split to int8 hi/lo; 3 int8 MXU dots per
-        # component (the lo*lo term is below the noise floor).  W tables
-        # arrive pre-split as int8 with a static scale.
-        # 14-bit split with radix 128: zh in [-127,127], zl in [-64,64]
-        # (a 256-radix split overflows int8 at the +/-32767 boundary)
-        zmax = jnp.max(jnp.abs(z_stack))
-        zscale = jnp.maximum(zmax, 1e-30) / 16256.0
-        z14 = jnp.round(z_stack / zscale)
-        zh = jnp.round(z14 / 128.0)
-        zl = z14 - zh * 128.0
-        zh8 = zh.astype(jnp.int8)
-        zl8 = zl.astype(jnp.int8)
-
-        def idot(a, b):
-            return jax.lax.dot_general(
-                a, b, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-
-        def stage2_dot(wh_ref, wl_ref):
-            wh = wh_ref[...]
-            wl = wl_ref[...]
-            hi = idot(zh8, wh).astype(jnp.float32)
-            mid = (idot(zh8, wl) + idot(zl8, wh)).astype(jnp.float32)
-            return (hi * 16384.0 + mid * 128.0) * (zscale * w_scale)
-
-        cr_all = stage2_dot(wmr_ref, wmr_lo_ref)
-        ci_all = stage2_dot(wmi_ref, wmi_lo_ref)
-    else:
-        cr_all = jax.lax.dot_general(
-            z_stack, wmr_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_P)
-        ci_all = jax.lax.dot_general(
-            z_stack, wmi_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_P)
+    frk = jnp.cos(p)[:, None]
+    fik = -jnp.sin(p)[:, None]
 
     # k1-part of the phasor: e^(i*ang*m2*k1) over the lane index.
     # |ang*m2*k1| <= pi/2 for |frac_delay| <= 0.5, so direct cos/sin is
@@ -232,34 +278,136 @@ def _kernel(x_hbm, w_ref, tw_ref, wmr_ref, wmi_ref, wmr_lo_ref,
     pr = jnp.cos(phi)
     pi_ = jnp.sin(phi)
 
-    for k2 in range(m2):
-        cr = cr_all[k2 * tb:(k2 + 1) * tb]
-        ci = ci_all[k2 * tb:(k2 + 1) * tb]
-        vr = cr * pr - ci * pi_
-        vi = cr * pi_ + ci * pr
-        if quantized:
-            gr = gains_ref[0, k2]   # (k1n,)
-            gi = gains_ref[1, k2]
-            qr = vr * gr - vi * gi
-            qi = vr * gi + vi * gr
-            out_ref[0, 2 * k2] = jnp.clip(
-                jnp.round(qr), -127, 127).astype(jnp.int8)
-            out_ref[0, 2 * k2 + 1] = jnp.clip(
-                jnp.round(qi), -127, 127).astype(jnp.int8)
-        else:
-            out_ref[0, 2 * k2] = vr
-            out_ref[0, 2 * k2 + 1] = vi
+    def stage2_mm(z_stack):
+        if stage2 == "int16":
+            # both operands split to int8 hi/lo; 3 int8 MXU dots per
+            # component (the lo*lo term is below the noise floor).
+            # 14-bit split with radix 128: zh in [-127,127], zl in
+            # [-64,64] (a 256-radix split overflows int8 at the
+            # +/-32767 boundary)
+            zmax = jnp.max(jnp.abs(z_stack))
+            zscale = jnp.maximum(zmax, 1e-30) / 16256.0
+            z14 = jnp.round(z_stack / zscale)
+            zh = jnp.round(z14 / 128.0)
+            zl = z14 - zh * 128.0
+            zh8 = zh.astype(jnp.int8)
+            zl8 = zl.astype(jnp.int8)
+
+            def idot(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+
+            def s2dot(wh_ref, wl_ref):
+                wh = wh_ref[...]
+                wl = wl_ref[...]
+                hi = idot(zh8, wh).astype(jnp.float32)
+                mid = (idot(zh8, wl) + idot(zl8, wh)).astype(jnp.float32)
+                return (hi * 16384.0 + mid * 128.0) * (zscale * w_scale)
+
+            return s2dot(wmr_ref, wmr_lo_ref), s2dot(wmi_ref, wmi_lo_ref)
+        if stage2 == "bf16x3":
+            # hi/lo bfloat16 split of both operands, 3 bf16 MXU passes
+            # with fp32 accumulation: ~16-bit effective mantissa at the
+            # full bf16 MXU rate (fp32 HIGHEST costs 6 passes)
+            zh = z_stack.astype(jnp.bfloat16)
+            zl = (z_stack - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def bdot(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            def s2dot(wh_ref, wl_ref):
+                wh = wh_ref[...]
+                wl = wl_ref[...]
+                return bdot(zh, wh) + (bdot(zh, wl) + bdot(zl, wh))
+
+            return s2dot(wmr_ref, wmr_lo_ref), s2dot(wmi_ref, wmi_lo_ref)
+        cr = jax.lax.dot_general(
+            z_stack, wmr_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_P)
+        ci = jax.lax.dot_general(
+            z_stack, wmi_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_P)
+        return cr, ci
+
+    mg = m2 // groups
+    for gi in range(groups):
+        # write this group's twiddled stage-1 rows into the Z scratch
+        for j in range(mg):
+            k2 = gi * mg + j
+            if k2 == 0:
+                zr, zi = yy[0]       # tw row 0 is identity
+            else:
+                zr, zi = _cmul_rt(yy[k2], tw_ref[0, k2], tw_ref[1, k2])
+            z_scratch[j * tb:(j + 1) * tb, 0:m1] = \
+                zr if zr is not None else jnp.zeros((tb, m1), jnp.float32)
+            z_scratch[j * tb:(j + 1) * tb, m1:2 * m1] = \
+                zi if zi is not None else jnp.zeros((tb, m1), jnp.float32)
+
+        cr_all, ci_all = stage2_mm(z_scratch[...])
+
+        for j in range(mg):
+            k2 = gi * mg + j
+            cr = cr_all[j * tb:(j + 1) * tb]
+            ci = ci_all[j * tb:(j + 1) * tb]
+            # k2-part of the phasor (per-spectrum complex scalar) ...
+            ar = cr * frk - ci * fik
+            ai = cr * fik + ci * frk
+            # ... then the k1-part table
+            vr = ar * pr - ai * pi_
+            vi = ar * pi_ + ai * pr
+            if quantized:
+                gr = gains_ref[0, k2]   # (k1n,)
+                gi_ = gains_ref[1, k2]
+                qr = vr * gr - vi * gi_
+                qi = vr * gi_ + vi * gr
+                out_ref[0, 2 * k2] = jnp.clip(
+                    jnp.round(qr), -127, 127).astype(jnp.int8)
+                out_ref[0, 2 * k2 + 1] = jnp.clip(
+                    jnp.round(qi), -127, 127).astype(jnp.int8)
+            else:
+                out_ref[0, 2 * k2] = vr
+                out_ref[0, 2 * k2 + 1] = vi
+            # fold u into the k2 phasor for the next k2
+            nfr = frk * ur - fik * ui
+            nfi = frk * ui + fik * ur
+            frk, fik = nfr, nfi
+
+
+def _choose_tiling(m: int, m2: int, b_out: int, taps_pad: int):
+    """Largest (tb, groups) whose VMEM-footprint model fits the budget.
+
+    Model (empirical, v5e): static scratch (new int8 frames, history,
+    Z) plus the live fp32 temporaries of the FIR and radix-FFT phases
+    ~= m*(14*tb + 8*tb/groups + 6*taps_pad) bytes.  Round-1's flat
+    model capped m=8192 at tb=32; the grouped Z scratch is what buys
+    tb=64 there.
+    """
+    for tb in _TB_CANDIDATES:
+        if tb < taps_pad or b_out % tb:
+            continue
+        for g in _GROUP_CANDIDATES:
+            if m2 % g:
+                continue
+            est = m * (14 * tb + 8 * tb // g + 6 * taps_pad)
+            if est <= _VMEM_BUDGET:
+                return tb, g
+    return 0, 1
 
 
 def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
                   frac_delay=None, phase=None, gains=None,
-                  stage2: str = None, interpret: bool = False):
+                  stage2: str = None, m1: int = None, tb: int = None,
+                  groups: int = None, interpret: bool = False):
     """Fused F-engine.  ``x: (..., T)`` int8; returns ``(..., B, K, 2)``
     int8 (with ``gains``) or float32 (without).
 
     ``frac_delay``/``phase``: ``(..., B)`` float32 per spectrum (zeros
-    when None).  ``gains``: ``(K, 2)`` float32 re/im.  Falls back to the
-    unfused ops for shapes the kernel does not tile.
+    when None).  ``gains``: ``(K, 2)`` float32 re/im.  ``m1``/``tb``/
+    ``groups`` override the factorisation/tiling policy (bench sweeps).
+    Falls back to the unfused ops for shapes the kernel does not tile.
     """
     m = 2 * n_chans
     t_len = x.shape[-1]
@@ -273,41 +421,26 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
     s = int(np.prod(lead)) if lead else 1
     taps_pad = _round_up(taps, 8)
 
-    tb = 0
-    for cand in _TB_CANDIDATES:
-        # VMEM footprint model (empirical): ~4*m*(taps_pad + 8*tb) bytes
-        # for history+fir+Z stacks+outputs; stay under ~12 MB of the
-        # 16 MB scoped budget (m=8192 at tb=128 measured 44 MB -> OOM)
-        if (cand >= taps_pad and b_out % cand == 0
-                and 4 * m * (taps_pad + 8 * cand) <= 12 * 1024 * 1024):
-            tb = cand
-            break
+    try:
+        m1v, m2, tw, wmr, wmi = _fft_tables(m, m1)
+    except ValueError:
+        m1v = m2 = 0
+    if tb is None or groups is None:
+        tb_auto, g_auto = _choose_tiling(m, max(m2, 1), b_out, taps_pad)
+        if tb is None:
+            tb = tb_auto
+        if groups is None:
+            groups = g_auto
     quantized = gains is not None
-    if tb == 0 or m % 128 or taps < 2:
+    if (tb == 0 or m % 128 or taps < 2 or m2 == 0 or m2 % groups
+            or b_out % tb or tb < taps_pad):
         # fall back to the unfused path
-        from dc_sand_tpu import ops as _ops
-        from dc_sand_tpu.utils.cplx import c2ri
-        fir = _ops.pfb_fir(x, window, taps, m, impl="jnp")
-        spec = _ops.channelize(fir, n_chans)
-        if frac_delay is not None or phase is not None:
-            spec = _ops.fine_delay_fringe(
-                spec, jnp.zeros(lead + (b_out,)) if frac_delay is None
-                else frac_delay,
-                jnp.zeros(lead + (b_out,)) if phase is None else phase)
-        if quantized:
-            from dc_sand_tpu.utils.cplx import ri2c
-            return _ops.requantize(spec, ri2c(jnp.asarray(gains)))
-        return c2ri(spec)
+        return _fallback(x, window, taps, n_chans, frac_delay=frac_delay,
+                         phase=phase, gains=gains)
     nb = b_out // tb
     if stage2 is None:
         stage2 = _DEFAULT_STAGE2
-    try:
-        m1, m2, w2, tw, wmr, wmi = _fft_tables(m)
-    except ValueError:
-        return fengine_fused.__wrapped_fallback__(
-            x, window, taps, n_chans, frac_delay=frac_delay, phase=phase,
-            gains=gains)
-    k1n = m1 // 2
+    k1n = m1v // 2
     assert m2 * k1n == n_chans
 
     xr = x.reshape(s, n_frames, m)
@@ -347,19 +480,29 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
         wmr, wmr_lo = split14(wmr)
         wmi, wmi_lo = split14(wmi)
         w_scale = 1.0 / 16256.0
+    elif stage2 == "bf16x3":
+        def splitb(wm):
+            wh = jnp.asarray(wm, jnp.bfloat16)
+            wl = jnp.asarray(wm - np.asarray(wh, np.float32),
+                             jnp.bfloat16)
+            return wh, wl
+        wmr, wmr_lo = splitb(wmr)
+        wmi, wmi_lo = splitb(wmi)
+        w_scale = 1.0
     else:
         wmr = jnp.asarray(wmr)
         wmi = jnp.asarray(wmi)
-        zero_lo = jnp.zeros((2 * m1, k1n), jnp.int8)
+        zero_lo = jnp.zeros((2 * m1v, k1n), jnp.int8)
         wmr_lo = wmi_lo = zero_lo
         w_scale = 1.0
 
     w = jnp.asarray(window, jnp.float32).reshape(taps, 1, m)
     kernel = functools.partial(
-        _kernel, taps=taps, taps_pad=taps_pad, tb=tb, nb=nb, m=m, m1=m1,
-        m2=m2, w2=w2, quantized=quantized, stage2=stage2,
+        _kernel, taps=taps, taps_pad=taps_pad, tb=tb, nb=nb, m=m, m1=m1v,
+        m2=m2, groups=groups, quantized=quantized, stage2=stage2,
         w_scale=w_scale)
     out_dtype = jnp.int8 if quantized else jnp.float32
+    wm_shape = (2 * m1v, k1n)
     out = pl.pallas_call(
         kernel,
         grid=(s, nb),
@@ -367,15 +510,15 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((taps, 1, m), lambda s_, b_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, m2, m1), lambda s_, b_: (0, 0, 0),
+            pl.BlockSpec((2, m2, m1v), lambda s_, b_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * m1, k1n), lambda s_, b_: (0, 0),
+            pl.BlockSpec(wm_shape, lambda s_, b_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * m1, k1n), lambda s_, b_: (0, 0),
+            pl.BlockSpec(wm_shape, lambda s_, b_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * m1, k1n), lambda s_, b_: (0, 0),
+            pl.BlockSpec(wm_shape, lambda s_, b_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * m1, k1n), lambda s_, b_: (0, 0),
+            pl.BlockSpec(wm_shape, lambda s_, b_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, tb), lambda s_, b_: (s_, b_, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -392,7 +535,7 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
             pltpu.VMEM((2, tb, m), xr.dtype),
             pltpu.VMEM((taps_pad, m), jnp.float32),
             pltpu.VMEM((taps_pad, m), xr.dtype),
-            pltpu.VMEM((m2 * tb, 2 * m1), jnp.float32),
+            pltpu.VMEM(((m2 // groups) * tb, 2 * m1v), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
