@@ -89,7 +89,8 @@ def bench_fx_step(n_ants: int = 64, n_pols: int = 2, n_chans: int = 1024,
     full F-engine -> local corner-turn -> X-engine CMAC + accumulate),
     i.e. ``__graft_entry__.entry``'s program under the valid protocol."""
     from dc_sand_tpu.config import get_config
-    from dc_sand_tpu.models.pipeline import make_step, history_len
+    from dc_sand_tpu.models.pipeline import (make_step, history_len,
+                                             zero_vis_acc)
     from dc_sand_tpu.golden.chain import baseline_pairs
 
     cfg = get_config("fx64").replace(n_ants=n_ants, n_pols=n_pols,
@@ -102,7 +103,7 @@ def bench_fx_step(n_ants: int = 64, n_pols: int = 2, n_chans: int = 1024,
     a, p, k, b = n_ants, n_pols, n_chans, n_spectra
     n_bl = len(baseline_pairs(a))
     history = jnp.zeros((a, p, history_len(cfg, 0)), jnp.int8)
-    vis_acc = jnp.zeros((n_bl, p, p, k, 2), jnp.int32)
+    vis_acc = zero_vis_acc(cfg)
     chunk = jax.block_until_ready(jax.jit(
         lambda: (jax.random.normal(jax.random.key(0),
                                    (a, p, cfg.chunk_samples)) * 30)
@@ -124,7 +125,8 @@ def bench_fx_step(n_ants: int = 64, n_pols: int = 2, n_chans: int = 1024,
         name="fx_step_64ant",
         metric="FX-step samples/s/chip", value=samples / wall,
         unit="samp/s", wall_s=wall,
-        bytes_moved=samples + n_bl * p * p * k * 8 * 2,
+        # int8 stream in + block accumulator (k, 2ap, 2ap) int32 in/out
+        bytes_moved=samples + 2 * k * (2 * a * p) ** 2 * 4,
         extra={"n_ants": a, "n_chans": k, "n_spectra": b,
                "vs_realtime_floor": samples / wall / REALTIME_FLOOR_PER_CHIP},
     ).finish()

@@ -34,8 +34,8 @@ import numpy as np
 
 from dc_sand_tpu.bench.harness import BenchResult, time_throughput
 from dc_sand_tpu.config import get_config
-from dc_sand_tpu.golden.chain import baseline_pairs
-from dc_sand_tpu.models.pipeline import make_step, history_len
+from dc_sand_tpu.models.pipeline import (make_step, history_len,
+                                         zero_vis_acc)
 from dc_sand_tpu.parallel import build_mesh
 from dc_sand_tpu.windows import pfb_window
 
@@ -46,14 +46,13 @@ def _step_wall(cfg, mesh, window, iters: int = 16) -> float:
     a, p, k, b = cfg.n_ants, cfg.n_pols, cfg.n_chans, cfg.spectra_per_chunk
     step = make_step(cfg, window, max_delay=0, mesh=mesh, impl="jnp",
                      donate=False, coarse_on_host=True)
-    n_bl = len(baseline_pairs(a))
     rng = np.random.default_rng(0)
     import jax
     dev = mesh.devices.flat[0]
     with jax.default_device(dev):
         args = (
             jnp.zeros((a, p, history_len(cfg, 0)), jnp.int8),
-            jnp.zeros((n_bl, p, p, k, 2), jnp.int32),
+            zero_vis_acc(cfg),
             jnp.asarray(rng.integers(-100, 100, (a, p, cfg.chunk_samples),
                                      dtype=np.int8)),
             jnp.zeros((a, p), jnp.int32),

@@ -35,12 +35,25 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
-__all__ = ["make_step", "history_len", "mode_for"]
+__all__ = ["make_step", "history_len", "mode_for", "zero_vis_acc"]
 
 
 def history_len(cfg: ChainConfig, max_delay: int) -> int:
     """Carried raw-stream tail: coarse-delay lead-in + FIR overlap."""
     return max_delay + cfg.history_len
+
+
+def zero_vis_acc(cfg: ChainConfig) -> jnp.ndarray:
+    """Zeroed X-engine integration carry for ``make_step``.
+
+    fx mode carries the full (k, 2ap, 2ap) int32 block accumulator
+    (ops.xcorr.acc_shape) — baselines are extracted once per dump, not
+    per chunk; other modes carry a rank-1 dummy."""
+    from dc_sand_tpu.ops.xcorr import acc_shape
+    if mode_for(cfg) == "fx":
+        return jnp.zeros(acc_shape(cfg.n_ants, cfg.n_pols, cfg.n_chans),
+                         jnp.int32)
+    return jnp.zeros((1,), jnp.int32)
 
 
 def mode_for(cfg: ChainConfig) -> str:
@@ -84,8 +97,16 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
         elif mode == "fx":
             qk = jnp.moveaxis(corner_turn_all_to_all(q, FX_AXIS)
                               if mesh is not None else q, 3, 0)
-            vis = ops.xcorr(qk)
-            vis_acc = jnp.where(reset, vis, vis_acc + vis)
+            # integration carries the full block matrix; extraction to
+            # baselines happens once per dump in the runner (C8/C9 —
+            # the per-chunk gather round-1 shipped contradicted
+            # ops/xcorr.py's own amortisation docstring)
+            base = jax.lax.cond(reset, jnp.zeros_like, lambda a: a,
+                                vis_acc)
+            x_impl = {"jnp": "jnp",
+                      "fused_interpret": "pallas_interpret"}.get(impl,
+                                                                 "auto")
+            vis_acc = ops.xcorr_accumulate(base, qk, impl=x_impl)
         else:  # beam
             coh = ops.beamform(q, weights)
             if mesh is not None:
@@ -107,10 +128,9 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
         fn = step
     else:
         a = P(FX_AXIS)
-        # fx mode carries the real (n_bl,p,p,k,2) accumulator sharded on
-        # channels; other modes carry a rank-1 dummy
-        vis_spec = (P(None, None, None, FX_AXIS) if mode == "fx"
-                    else P(None))
+        # fx mode carries the (k, 2ap, 2ap) block accumulator sharded on
+        # channels (axis 0); other modes carry a rank-1 dummy
+        vis_spec = P(FX_AXIS) if mode == "fx" else P(None)
         beam_out = {"beams": P()}
         if cfg.incoherent_beam:
             beam_out["incoherent"] = P()

@@ -9,25 +9,38 @@ MXU* — per channel, with A = Ar + j*Ai the (antpol, time) int8 matrix,
 
     V = A A^H  =  (Ar Ar^T + Ai Ai^T)  +  j (Ai Ar^T - Ar Ai^T)
 
-i.e. four s8 x s8 -> s32 matmuls of shape (128, T) x (T, 128) at 64
-dual-pol antennas — exactly the MXU's native tile.  This replaces the
-reference's hand-written CUDA CMAC/tensor-core kernels (SURVEY.md C8) with
-the TPU's systolic array; integration over the time axis happens *inside*
-the matmul's contraction at full int32 precision.
+computed as ONE stacked s8 x s8 -> s32 matmul A2 @ A2^T with
+A2 = [Ar; Ai] (256 x T at 64 dual-pol antennas — exactly the MXU's
+native tile).  This replaces the reference's hand-written CUDA
+CMAC/tensor-core kernels (SURVEY.md C8) with the TPU's systolic array;
+integration over the time axis happens *inside* the matmul's contraction
+at full int32 precision.
 
-The baseline-triangle extraction is a gather done once per accumulator dump
-(not per spectrum), so its cost is amortised to nothing.
+The streaming path (:func:`xcorr_accumulate`, used by ``make_step``)
+carries the FULL (k, 2ap, 2ap) block matrix as the integration
+accumulator and extracts the baseline triangle ONCE per accumulator dump
+(:func:`extract_baselines` in the runner), not per chunk — per SURVEY.md
+C8/C9.  On production shapes a Pallas kernel accumulates in place
+(``input_output_aliases``): per grid step the int8 spectra tile and the
+int32 accumulator tile meet in VMEM, so HBM sees the accumulator exactly
+once per chunk instead of once for the product plus once for the add.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from dc_sand_tpu.golden.chain import baseline_pairs
+from dc_sand_tpu.ops._dispatch import resolve_impl
 
-__all__ = ["xcorr", "xcorr_full", "extract_baselines"]
+__all__ = ["xcorr", "xcorr_full", "extract_baselines", "extract_vis",
+           "xcorr_accumulate", "acc_shape"]
 
 
 def xcorr_full(q: jax.Array) -> jax.Array:
@@ -66,6 +79,97 @@ def extract_baselines(full: jax.Array, n_ants: int,
     cols = pairs[:, 1, None] * n_pols + p[None, :]
     out = full[:, rows[:, :, None], cols[:, None, :]]  # (k, bl, pi, pj, 2)
     return jnp.moveaxis(out, 0, 3)
+
+
+def acc_shape(n_ants: int, n_pols: int, n_chans: int) -> tuple:
+    """Shape of the streaming X-engine integration accumulator: the full
+    (k, 2ap, 2ap) stacked-block matrix carried across chunks."""
+    ap = n_ants * n_pols
+    return (n_chans, 2 * ap, 2 * ap)
+
+
+def _cmac_kernel(q_ref, acc_ref, out_ref, *, kt):
+    # q_ref: (kt, 2ap, b) int8; acc_ref/out_ref: (kt, 2ap, 2ap) int32
+    # (aliased, accumulated in place in VMEM)
+    for c in range(kt):
+        a2 = q_ref[c]
+        out_ref[c] = acc_ref[c] + jax.lax.dot_general(
+            a2, a2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+
+def _xcorr_accumulate_pallas(acc: jax.Array, a2: jax.Array,
+                             interpret: bool = False) -> jax.Array:
+    """acc (k, 2ap, 2ap) int32 += a2 @ a2^T per channel, in place.
+
+    ``a2: (k, 2ap, b) int8`` stacked [Ar; Ai].  Channel tiles of ``kt``
+    ride the grid; the accumulator tile is read, bumped and written once
+    (donated via ``input_output_aliases``).
+    """
+    k, tap, b = a2.shape
+    kt = 1
+    for cand in (8, 4, 2, 1):
+        # VMEM per step: q tile + 2x acc tile (+ dot temp) — keep << 16M
+        if k % cand == 0 and cand * tap * (b + 12 * tap) <= 8 * 1024 * 1024:
+            kt = cand
+            break
+    return pl.pallas_call(
+        functools.partial(_cmac_kernel, kt=kt),
+        grid=(k // kt,),
+        in_specs=[
+            pl.BlockSpec((kt, tap, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, tap, tap), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kt, tap, tap), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, tap, tap), jnp.int32),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(a2, acc)
+
+
+def xcorr_accumulate(acc: jax.Array, q: jax.Array,
+                     impl: str = "auto") -> jax.Array:
+    """One chunk of X-engine integration: ``acc + sum_b A A^H`` blocks.
+
+    ``acc: (k, 2ap, 2ap) int32`` (see :func:`acc_shape`); ``q: (k, ant,
+    pol, b, 2) int8`` corner-turned F-engine output.  Returns the bumped
+    accumulator (same block layout as :func:`xcorr_full`, so
+    :func:`extract_baselines` applies at dump time).
+    """
+    k, n_ants, n_pols, b, _ = q.shape
+    ap = n_ants * n_pols
+    a = q.reshape(k, ap, b, 2)
+    a2 = jnp.concatenate([a[..., 0], a[..., 1]], axis=1)  # (k, 2ap, b)
+    impl = resolve_impl(impl)
+    # Pallas wants lane/sublane-tileable operands; small test shapes ride
+    # the jnp path (same math, XLA batched matmul)
+    if impl.startswith("pallas") and 2 * ap % 8 == 0 and b % 128 == 0:
+        return _xcorr_accumulate_pallas(
+            acc, a2, interpret=(impl == "pallas_interpret"))
+    full2 = jax.lax.dot_general(
+        a2, a2, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)
+    return acc + full2
+
+
+def extract_vis(acc: jax.Array, n_ants: int, n_pols: int) -> jax.Array:
+    """Dump-time extraction from the streaming block accumulator.
+
+    ``acc: (k, 2ap, 2ap) int32`` (from :func:`xcorr_accumulate`) ->
+    ``(n_bl, pi, pj, k, 2) int32`` canonical visibilities.  Runs once
+    per accumulator dump (the runner jits it), so its gather cost is
+    amortised over the whole integration window.
+    """
+    ap = n_ants * n_pols
+    rr = acc[:, :ap, :ap]
+    ri = acc[:, :ap, ap:]
+    ir = acc[:, ap:, :ap]
+    ii = acc[:, ap:, ap:]
+    full = jnp.stack([rr + ii, ir - ri], axis=-1)
+    return extract_baselines(full, n_ants, n_pols)
 
 
 def xcorr(q: jax.Array) -> jax.Array:

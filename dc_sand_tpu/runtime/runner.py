@@ -18,11 +18,11 @@ import dataclasses
 import logging
 from typing import Callable, Iterable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from dc_sand_tpu.config import ChainConfig
-from dc_sand_tpu.golden.chain import baseline_pairs
 from dc_sand_tpu.models.pipeline import make_step, history_len, mode_for
 from dc_sand_tpu.runtime.delays import DelayModel
 
@@ -86,9 +86,16 @@ class FXRunner:
         self._host_tail = (np.zeros((a, p, self.max_delay), np.int8)
                            if self.coarse_on_host and self.max_delay
                            else None)
-        n_bl = len(baseline_pairs(a))
-        self.vis_acc = jnp.zeros((n_bl, p, p, k, 2), jnp.int32) \
-            if self.mode == "fx" else jnp.zeros((1,), jnp.int32)
+        from dc_sand_tpu.models.pipeline import zero_vis_acc
+        self.vis_acc = zero_vis_acc(cfg)
+        if self.mode == "fx":
+            # dump-time baseline extraction (jitted once; n_ants/n_pols
+            # are static) — the accumulator itself carries the full
+            # (k, 2ap, 2ap) block matrix between chunks
+            import functools as _ft
+            from dc_sand_tpu import ops as _ops
+            self._extract = jax.jit(
+                _ft.partial(_ops.extract_vis, n_ants=a, n_pols=p))
         # int32 CMAC headroom (ops/xcorr.py): |V| <= 2*127^2*n_spectra
         max_spectra = (2 ** 31 - 1) // (2 * 127 * 127)
         if self.mode == "fx" and cfg.n_spectra_per_acc > max_spectra:
@@ -164,7 +171,7 @@ class FXRunner:
                 if not dropped:
                     self._acc_integrated += b
                 if self._acc_spectra >= cfg.n_spectra_per_acc:
-                    d = Dump(vis=np.asarray(self.vis_acc),
+                    d = Dump(vis=np.asarray(self._extract(self.vis_acc)),
                              n_spectra=self._acc_integrated,
                              n_spectra_nominal=self._acc_spectra,
                              first_chunk=self._acc_first_chunk)

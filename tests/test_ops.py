@@ -248,6 +248,53 @@ class TestFusedFEngine:
         assert snr_db(ref, np_ri2c(out)) > 50
 
 
+class TestXcorrAccumulate:
+    """Streaming block accumulator + dump-time extraction (C8/C9) vs the
+    per-chunk golden xcorr; Pallas CMAC kernel in interpret mode."""
+
+    def _chunks(self, k=8, n_ants=8, n_pols=2, b=128, n_chunks=3, seed=33):
+        rng = np.random.default_rng(seed)
+        return [rng.integers(-100, 100, (k, n_ants, n_pols, b, 2),
+                             dtype=np.int8) for _ in range(n_chunks)]
+
+    def _golden_total(self, chunks):
+        tot = None
+        for q in chunks:
+            # golden.xcorr wants (ant, pol, b, k) complex
+            qc = (q[..., 0] + 1j * q[..., 1]).transpose(1, 2, 3, 0)
+            v = golden.xcorr(qc)
+            tot = v if tot is None else tot + v
+        return tot
+
+    def _run(self, impl, chunks=None):
+        if chunks is None:
+            chunks = self._chunks()
+        k, a, p = chunks[0].shape[:3]
+        acc = jnp.zeros(ops.acc_shape(a, p, k), jnp.int32)
+        for q in chunks:
+            acc = ops.xcorr_accumulate(acc, jnp.asarray(q), impl=impl)
+        return np.asarray(ops.extract_vis(acc, a, p)), chunks
+
+    def test_jnp_matches_golden_exact(self):
+        vis, chunks = self._run("jnp")
+        ref = self._golden_total(chunks)
+        np.testing.assert_array_equal(vis[..., 0], ref.real)
+        np.testing.assert_array_equal(vis[..., 1], ref.imag)
+
+    def test_pallas_interpret_matches_jnp_bitwise(self):
+        vis_p, _ = self._run("pallas_interpret")
+        vis_j, _ = self._run("jnp")
+        np.testing.assert_array_equal(vis_p, vis_j)
+
+    def test_matches_per_chunk_xcorr(self):
+        """The dump-cadence path == summing per-chunk extracted xcorr."""
+        chunks = self._chunks(n_chunks=2)
+        vis, _ = self._run("jnp", chunks)
+        per_chunk = sum(np.asarray(ops.xcorr(jnp.asarray(q)))
+                        for q in chunks)
+        np.testing.assert_array_equal(vis, per_chunk)
+
+
 class TestStokes:
     def test_matches_golden(self):
         rng = np.random.default_rng(31)

@@ -135,8 +135,8 @@ class TestPallasUnderShardMap:
         pinned impl="jnp" everywhere under shard_map, leaving the
         Pallas-in-SPMD seam untested (VERDICT r1 weak #5)."""
         from dc_sand_tpu.config import ChainConfig
-        from dc_sand_tpu.models.pipeline import make_step, history_len
-        from dc_sand_tpu.golden.chain import baseline_pairs
+        from dc_sand_tpu.models.pipeline import (make_step, history_len,
+                                                 zero_vis_acc)
         d = 4
         mesh = build_mesh(n_devices=d)
         nch = 512  # m=1024: smallest fused-tileable FFT (m1=256, m2=4)
@@ -147,13 +147,12 @@ class TestPallasUnderShardMap:
         w = pfb_window(cfg.n_taps, cfg.fft_size)
         rng = np.random.default_rng(70)
         a, p, k, b = cfg.n_ants, cfg.n_pols, nch, cfg.spectra_per_chunk
-        n_bl = len(baseline_pairs(a))
         stream = _noise_int8((a, p, cfg.chunk_samples), seed=71)
         gains = np.zeros((k, 2), np.float32)
         gains[:, 0] = 0.05
         args = (
             jnp.zeros((a, p, history_len(cfg, 0)), jnp.int8),
-            jnp.zeros((n_bl, p, p, k, 2), jnp.int32),
+            zero_vis_acc(cfg),
             jnp.asarray(stream),
             jnp.zeros((a, p), jnp.int32),
             jnp.asarray(rng.uniform(-0.5, 0.5, (a, p, b)), jnp.float32),
