@@ -22,6 +22,9 @@ def _add_common(p):
                    help="pin computations to the CPU backend")
     p.add_argument("--mesh", type=int, default=0,
                    help="run the SPMD path over an N-device mesh")
+    p.add_argument("--time-shards", type=int, default=1,
+                   help="sequence-parallel: shard the sample stream "
+                        "N ways over the mesh time axis (halo mode)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() and "
                         "mesh over all global devices")
@@ -35,11 +38,12 @@ def cmd_verify(args) -> int:
 
     from dc_sand_tpu.verify import verify_config, SNR_BOUND
     mesh = None
-    if args.mesh:
+    if args.mesh or args.time_shards > 1:
         from dc_sand_tpu.parallel import build_mesh
-        mesh = build_mesh(n_devices=args.mesh)
+        mesh = build_mesh(n_devices=args.mesh or args.time_shards,
+                          time_shards=args.time_shards)
     snrs = verify_config(args.config, scale=args.scale, mesh=mesh,
-                         impl=args.impl)
+                         impl=args.impl, time_shards=args.time_shards)
     counters = snrs.pop("_counters", None)
     ok = all(v > SNR_BOUND for v in snrs.values())
     for stage, v in snrs.items():
@@ -81,10 +85,13 @@ def cmd_run(args) -> int:
     cfg = get_config(args.config)
     if args.scale:
         cfg = scaled_for_test(cfg, n_chans=args.scale)
+    if args.time_shards > 1:
+        cfg = cfg.replace(time_shards=args.time_shards)
     mesh = None
-    if args.mesh:
+    if args.mesh or args.time_shards > 1:
         from dc_sand_tpu.parallel import build_mesh
-        mesh = build_mesh(n_devices=args.mesh)
+        mesh = build_mesh(n_devices=args.mesh or args.time_shards,
+                          time_shards=args.time_shards)
     window = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
     rng = np.random.default_rng(0)
     weights = (rng.normal(size=(cfg.n_beams, cfg.n_ants, cfg.n_chans, 2))

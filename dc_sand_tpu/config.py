@@ -90,6 +90,12 @@ class ChainConfig:
     # Sharding intent (used by models/parallel when a mesh is supplied).
     shard_ants: bool = False
     shard_chans: bool = False
+    # Sequence-parallel (SP) streaming: >1 shards the sample stream over
+    # the mesh's time axis with per-chunk overlap-save halo exchange and
+    # a carried cross-chunk FIR history (no cold start except chunk 0).
+    # First-class for the F-engine modes; FX/beam shard antennas/channels
+    # on the fx axis instead (SURVEY.md §2.3 parallelism table).
+    time_shards: int = 1
 
     # ------------------------------------------------------------------
     @property

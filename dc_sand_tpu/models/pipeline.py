@@ -39,7 +39,19 @@ __all__ = ["make_step", "history_len", "mode_for", "zero_vis_acc"]
 
 
 def history_len(cfg: ChainConfig, max_delay: int) -> int:
-    """Carried raw-stream tail: coarse-delay lead-in + FIR overlap."""
+    """Carried raw-stream tail: coarse-delay lead-in + FIR overlap.
+
+    In SP mode (``cfg.time_shards > 1``) the carry is sharded over the
+    time axis — one overlap-save block per shard (only shard 0's block
+    is live; it holds the previous chunk's global stream tail), so the
+    global carry is ``time_shards`` blocks long and coarse delay must
+    ride the host/ingest path (``max_delay == 0``).
+    """
+    if cfg.time_shards > 1:
+        if max_delay:
+            raise ValueError("SP mode needs coarse delay on the "
+                             "host/ingest path (max_delay must be 0)")
+        return cfg.time_shards * cfg.history_len
     return max_delay + cfg.history_len
 
 
@@ -80,6 +92,10 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
     taps, n_chans = cfg.n_taps, cfg.n_chans
     quantized = cfg.apply_requant
     device_coarse = cfg.apply_delay and not coarse_on_host
+
+    if cfg.time_shards > 1:
+        return _make_sp_step(cfg, window, mesh=mesh, impl=impl,
+                             donate=donate)
 
     def step(history, vis_acc, chunk, coarse, frac, phase, gains,
              weights, reset):
@@ -147,5 +163,87 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
             # Pallas-under-shard_map path (the pod program)
             check_vma=False,
         )
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(fn, donate_argnums=donate_argnums)
+
+
+def _make_sp_step(cfg: ChainConfig, window, *, mesh, impl: str,
+                  donate: bool):
+    """Sequence-parallel streaming step: the sample stream sharded over
+    the ``time`` mesh axis (SURVEY.md §5 long-context row, first-class).
+
+    Each chunk splits into ``time_shards`` contiguous segments.  Shard i
+    prepends the overlap-save halo from shard i-1 (one ring ``ppermute``
+    per chunk); shard 0 prepends the CARRIED history — the previous
+    chunk's global stream tail, which is exactly what the ring delivers
+    to shard 0 from shard n-1, so the carry update costs nothing extra
+    and there is no cold start except at stream start (VERDICT r1 #5:
+    round-1's one-shot ``make_time_sharded_fengine`` re-zeroed history
+    every call).
+
+    Same signature/carry as :func:`make_step`; supports the fengine and
+    beam modes (FX shards antennas/channels on the fx axis instead).
+    """
+    from dc_sand_tpu.parallel import TIME_AXIS
+
+    mode = mode_for(cfg)
+    if mode == "fx":
+        raise ValueError("time_shards applies to the F-engine/beam "
+                         "modes; the FX correlator shards the fx axis")
+    if mesh is None or TIME_AXIS not in mesh.shape \
+            or mesh.shape[TIME_AXIS] != cfg.time_shards:
+        raise ValueError(
+            f"SP mode needs a mesh with a {cfg.time_shards}-way "
+            f"'{TIME_AXIS}' axis (build_mesh(time_shards=...))")
+    taps, n_chans = cfg.n_taps, cfg.n_chans
+    quantized = cfg.apply_requant
+    halo = cfg.history_len
+    n = cfg.time_shards
+    if cfg.chunk_samples % n or cfg.chunk_samples // n < halo:
+        raise ValueError(
+            f"chunk of {cfg.chunk_samples} samples cannot shard {n} "
+            f"ways with an overlap-save halo of {halo}")
+
+    def step(history, vis_acc, chunk, coarse, frac, phase, gains,
+             weights, reset):
+        # history/chunk/frac/phase arrive shard-local (time axis)
+        idx = jax.lax.axis_index(TIME_AXIS)
+        tail = chunk[..., -halo:]
+        ring = [(i, (i + 1) % n) for i in range(n)]
+        halo_in = jax.lax.ppermute(tail, TIME_AXIS, ring)
+        hist_block = jnp.where(idx == 0, history, halo_in)
+        xh = jnp.concatenate([hist_block, chunk], axis=-1)
+        q = f_engine(xh, window, taps, n_chans,
+                     frac_delay=frac if cfg.apply_delay else None,
+                     phase=phase if cfg.apply_delay else None,
+                     gains=gains if quantized else None, impl=impl)
+        # shard 0 received shard n-1's tail = the next chunk's carry;
+        # other shards park zeros in their (dead) carry block
+        new_history = jnp.where(idx == 0, halo_in,
+                                jnp.zeros_like(halo_in))
+        outputs = {}
+        if mode == "fengine":
+            outputs["spectra"] = q
+        else:  # beam
+            coh = ops.beamform(q, weights)
+            if cfg.beam_quant_scale:
+                coh = jnp.clip(
+                    jnp.rint(coh * cfg.beam_quant_scale), -127, 127
+                ).astype(jnp.int8)
+            outputs["beams"] = coh
+            if cfg.incoherent_beam:
+                outputs["incoherent"] = ops.incoherent_sum(q)
+        return new_history, vis_acc, outputs
+
+    t = P(None, None, TIME_AXIS)     # (a, p, time-sharded samples)
+    out_sp = {"spectra": t} if mode == "fengine" else (
+        {"beams": t, "incoherent": P(None, TIME_AXIS)}
+        if cfg.incoherent_beam else {"beams": t})
+    fn = _shard_map(
+        step, mesh=mesh,
+        in_specs=(t, P(None), t, P(), t, t, P(), P(), P()),
+        out_specs=(t, P(None), out_sp),
+        check_vma=False,
+    )
     donate_argnums = (0, 1) if donate else ()
     return jax.jit(fn, donate_argnums=donate_argnums)

@@ -71,7 +71,8 @@ def _golden_spectra(cfg, stream, dm, gains, n_chunks, window):
 def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
                   mesh=None, impl: str = "auto", seed: int = 0,
                   spectra_per_chunk: Optional[int] = 16,
-                  n_spectra_per_acc: Optional[int] = 32) -> Dict[str, float]:
+                  n_spectra_per_acc: Optional[int] = 32,
+                  time_shards: int = 1) -> Dict[str, float]:
     """Run config ``name`` end-to-end and return per-output SNRs vs golden.
 
     ``scale``: optionally reduce n_chans (CPU-friendly); None = full size.
@@ -89,6 +90,11 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
     if n_spectra_per_acc is not None:
         cfg = cfg.replace(n_spectra_per_acc=min(cfg.n_spectra_per_acc,
                                                 n_spectra_per_acc))
+    if time_shards > 1:
+        # SP mode: each time shard needs >= (taps-1) spectra of halo
+        cfg = cfg.replace(time_shards=time_shards,
+                          spectra_per_chunk=max(cfg.spectra_per_chunk,
+                                                time_shards * cfg.n_taps))
     rng = np.random.default_rng(seed)
     a, p, k = cfg.n_ants, cfg.n_pols, cfg.n_chans
     window = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)

@@ -175,6 +175,82 @@ class TestPallasUnderShardMap:
                                       np.asarray(vis_l))
 
 
+class TestSPStreamingMode:
+    """First-class sequence-parallel streaming (cfg.time_shards): the
+    carried FIR history crosses chunk boundaries through the halo ring,
+    so a time-sharded stream equals the unsharded stream BITWISE at
+    streaming cadence — no cold start except chunk 0 (VERDICT r1 #5)."""
+
+    def _run(self, cfg, mesh, stream, n_chunks):
+        from dc_sand_tpu.runtime import FXRunner
+        outs = []
+        r = FXRunner(cfg, pfb_window(cfg.n_taps, cfg.fft_size), mesh=mesh,
+                     impl="jnp")
+        r.run(lambda i: stream[..., i * cfg.chunk_samples:
+                               (i + 1) * cfg.chunk_samples], n_chunks,
+              on_output=lambda i, o: outs.append(o))
+        return outs
+
+    def test_sp_equals_unsharded_across_chunks(self):
+        from dc_sand_tpu.config import ChainConfig
+        d = 4
+        mesh = build_mesh(n_devices=d, time_shards=d)
+        base = dict(name="t", n_ants=2, n_pols=2, n_chans=N_CHANS,
+                    n_taps=TAPS, spectra_per_chunk=4 * d,
+                    apply_delay=True, apply_requant=True)
+        cfg_sp = ChainConfig(time_shards=d, **base)
+        cfg_1 = ChainConfig(**base)
+        n_chunks = 3
+        stream = _noise_int8(
+            (2, 2, n_chunks * cfg_sp.chunk_samples), seed=80)
+        sp = self._run(cfg_sp, mesh, stream, n_chunks)
+        ref = self._run(cfg_1, None, stream, n_chunks)
+        for c in range(n_chunks):
+            np.testing.assert_array_equal(sp[c]["spectra"],
+                                          ref[c]["spectra"])
+
+    def test_sp_beam_mode(self):
+        from dc_sand_tpu.config import ChainConfig
+        d = 2
+        mesh = build_mesh(n_devices=d, time_shards=d)
+        base = dict(name="t", n_ants=4, n_pols=2, n_chans=N_CHANS,
+                    n_taps=TAPS, spectra_per_chunk=4 * d, n_beams=2,
+                    apply_delay=True, apply_requant=True,
+                    incoherent_beam=True)
+        rng = np.random.default_rng(81)
+        wts = rng.normal(size=(2, 4, N_CHANS, 2)).astype(np.float32)
+        stream = _noise_int8((4, 2, 2 * 4 * d * M), seed=82)
+        from dc_sand_tpu.runtime import FXRunner
+
+        def run(cfg, mesh_):
+            outs = []
+            r = FXRunner(cfg, pfb_window(TAPS, M), weights=wts,
+                         mesh=mesh_, impl="jnp")
+            r.run(lambda i: stream[..., i * cfg.chunk_samples:
+                                   (i + 1) * cfg.chunk_samples], 2,
+                  on_output=lambda i, o: outs.append(o))
+            return outs
+
+        sp = run(ChainConfig(time_shards=d, **base), mesh)
+        ref = run(ChainConfig(**base), None)
+        for c in range(2):
+            np.testing.assert_allclose(sp[c]["beams"], ref[c]["beams"],
+                                       rtol=1e-6, atol=1e-4)
+            np.testing.assert_allclose(sp[c]["incoherent"],
+                                       ref[c]["incoherent"],
+                                       rtol=1e-6, atol=1e-4)
+
+    def test_sp_rejects_fx_mode(self):
+        from dc_sand_tpu.config import ChainConfig
+        from dc_sand_tpu.models.pipeline import make_step
+        mesh = build_mesh(n_devices=2, time_shards=2)
+        cfg = ChainConfig(name="t", n_ants=2, n_pols=1, n_chans=N_CHANS,
+                          n_taps=TAPS, spectra_per_chunk=8,
+                          run_xengine=True, time_shards=2)
+        with pytest.raises(ValueError, match="fx axis"):
+            make_step(cfg, pfb_window(TAPS, M), mesh=mesh, impl="jnp")
+
+
 class TestTimeShardedFEngine:
     def test_matches_unsharded_with_cold_start(self):
         d = 4
