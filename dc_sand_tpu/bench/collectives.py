@@ -28,7 +28,13 @@ except ImportError:  # pragma: no cover
 
 __all__ = ["bench_collective", "COLLECTIVES"]
 
-COLLECTIVES = ("all_to_all", "ppermute", "psum", "all_gather")
+# the *_pallas entries are the make_async_remote_copy variants
+# (parallel/remote_dma.py) measured against their XLA twins — the
+# planned pod-bring-up comparison (SURVEY.md:127,134,161).  They need a
+# single-axis mesh in interpreter mode (CPU); on hardware they ride the
+# same mesh as the XLA forms.
+COLLECTIVES = ("all_to_all", "ppermute", "psum", "all_gather",
+               "all_to_all_pallas", "ppermute_pallas")
 
 
 def bench_collective(op: str, mesh, *, mb_per_chip: float = 16.0,
@@ -36,6 +42,12 @@ def bench_collective(op: str, mesh, *, mb_per_chip: float = 16.0,
     """Measure achieved per-chip bandwidth of one collective over
     ``mesh``'s fx axis.  Bytes accounting is the wire traffic per chip
     (payload leaving/entering each chip), not the array size."""
+    interpret = mesh.devices.flat[0].platform == "cpu"
+    if op.endswith("_pallas") and interpret and len(mesh.axis_names) > 1:
+        # the interpreter only simulates remote DMA on flat meshes
+        import numpy as _np
+        from jax.sharding import Mesh
+        mesh = Mesh(_np.asarray(list(mesh.devices.flat)), (FX_AXIS,))
     d = mesh.shape[FX_AXIS]
     n_rows = max(d, int(mb_per_chip * 1e6 / (4 * 1024)))
     n_rows -= n_rows % d
@@ -46,6 +58,20 @@ def bench_collective(op: str, mesh, *, mb_per_chip: float = 16.0,
             return jax.lax.all_to_all(x, FX_AXIS, split_axis=0,
                                       concat_axis=0, tiled=True)
         wire = local_bytes * (d - 1) / d
+    elif op == "all_to_all_pallas":
+        from dc_sand_tpu.parallel.remote_dma import all_to_all_pallas
+
+        def fn(x):
+            return all_to_all_pallas(x, FX_AXIS, mesh.axis_names,
+                                     interpret=interpret)
+        wire = local_bytes * (d - 1) / d
+    elif op == "ppermute_pallas":
+        from dc_sand_tpu.parallel.remote_dma import ring_permute_right
+
+        def fn(x):
+            return ring_permute_right(x, FX_AXIS, mesh.axis_names,
+                                      interpret=interpret)
+        wire = local_bytes
     elif op == "ppermute":
         perm = [(i, (i + 1) % d) for i in range(d)]
 
@@ -65,7 +91,8 @@ def bench_collective(op: str, mesh, *, mb_per_chip: float = 16.0,
                          f"available: {COLLECTIVES}")
 
     sharded = _shard_map(fn, mesh=mesh, in_specs=P(FX_AXIS),
-                         out_specs=P(FX_AXIS) if op != "psum" else P())
+                         out_specs=P(FX_AXIS) if op != "psum" else P(),
+                         check_vma=False)
     with jax.default_device(mesh.devices.flat[0]):
         x = jnp.zeros((n_rows * d, 1024), jnp.float32)
     wall = time_throughput(sharded, (x,), iters=iters)

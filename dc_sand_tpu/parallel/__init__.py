@@ -18,3 +18,5 @@ The parallelism model (SURVEY.md §2.3 table; BASELINE.json:5,10):
 from .mesh import build_mesh, FX_AXIS, TIME_AXIS  # noqa: F401
 from .corner_turn import corner_turn_all_to_all  # noqa: F401
 from .halo import halo_exchange_left  # noqa: F401
+from .remote_dma import (ring_permute_right,  # noqa: F401
+                         all_to_all_pallas)

@@ -17,13 +17,21 @@ __all__ = ["halo_exchange_left"]
 
 
 def halo_exchange_left(x_local: jax.Array, halo_len: int,
-                       axis_name: str) -> jax.Array:
+                       axis_name: str, *, impl: str = "xla",
+                       axis_names=None,
+                       interpret: bool = False) -> jax.Array:
     """Inside shard_map: prepend the left neighbour's trailing samples.
 
     ``x_local: (..., t_local)`` -> ``(..., halo_len + t_local)``.  Shard 0
     (the stream head) gets zeros — the cold-start FIR history, matching
     the golden chain's convention that the first ``taps-1`` frames of the
     whole stream are history.
+
+    ``impl="xla"`` is one neighbour ``lax.ppermute``; ``impl="pallas"``
+    issues the ring step straight to the DMA engines
+    (:func:`dc_sand_tpu.parallel.remote_dma.ring_permute_right` —
+    requires ``axis_names``, the full mesh axis tuple).  Both are
+    bitwise-equal; ``bench/collectives.py`` compares them per size.
     """
     if x_local.shape[-1] < halo_len:
         raise ValueError(
@@ -34,6 +42,13 @@ def halo_exchange_left(x_local: jax.Array, halo_len: int,
     tail = x_local[..., -halo_len:]
     # send my tail to my right neighbour (i -> i+1); shard 0 receives
     # from nobody and must see zeros.
-    perm = [(i, i + 1) for i in range(n - 1)]
-    halo = jax.lax.ppermute(tail, axis_name, perm)
+    if impl == "pallas":
+        from dc_sand_tpu.parallel.remote_dma import ring_permute_right
+        halo = ring_permute_right(tail, axis_name, axis_names,
+                                  interpret=interpret)
+        idx = jax.lax.axis_index(axis_name)
+        halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+    else:
+        perm = [(i, i + 1) for i in range(n - 1)]
+        halo = jax.lax.ppermute(tail, axis_name, perm)
     return jnp.concatenate([halo, x_local], axis=-1)

@@ -69,6 +69,58 @@ class TestCornerTurn:
         assert shards[0].shape == (a, pol, b, k // d, 2)
 
 
+class TestRemoteDMACollectives:
+    """Pallas make_async_remote_copy variants of the halo ring and the
+    corner-turn all-to-all (VERDICT r1 #4): bitwise-equal to the XLA
+    collectives on the CPU mesh in interpreter mode.  The jax 0.9
+    interpreter only simulates remote DMA on single-axis meshes, so
+    these tests build a flat mesh; the ops themselves take the full
+    ``axis_names`` tuple and address devices by flattened logical id,
+    which generalises to the (time, fx) production mesh on hardware."""
+
+    def _flat_mesh(self, d, name):
+        from jax.sharding import Mesh
+        return Mesh(np.array(jax.devices("cpu")[:d]), (name,))
+
+    def test_a2a_pallas_equals_xla(self):
+        d = 4
+        mesh = self._flat_mesh(d, FX_AXIS)
+        rng = np.random.default_rng(90)
+        q = jnp.asarray(rng.integers(-100, 100, (8, 2, 3, 64, 2)),
+                        jnp.int8)
+        xla = jax.jit(shard_map_fn(
+            lambda ql: corner_turn_all_to_all(ql, FX_AXIS),
+            mesh=mesh, in_specs=(P(FX_AXIS),),
+            out_specs=P(None, None, None, FX_AXIS), check_vma=False))
+        pal = jax.jit(shard_map_fn(
+            lambda ql: corner_turn_all_to_all(
+                ql, FX_AXIS, impl="pallas", axis_names=mesh.axis_names,
+                interpret=True),
+            mesh=mesh, in_specs=(P(FX_AXIS),),
+            out_specs=P(None, None, None, FX_AXIS), check_vma=False))
+        np.testing.assert_array_equal(np.asarray(xla(q)),
+                                      np.asarray(pal(q)))
+
+    def test_halo_pallas_equals_xla(self):
+        d = 4
+        mesh = self._flat_mesh(d, TIME_AXIS)
+        rng = np.random.default_rng(91)
+        x = jnp.asarray(rng.integers(-100, 100, (2, 32 * d)), jnp.int8)
+        xla = jax.jit(shard_map_fn(
+            lambda xl: halo_exchange_left(xl, 8, TIME_AXIS),
+            mesh=mesh, in_specs=(P(None, TIME_AXIS),),
+            out_specs=P(None, TIME_AXIS), check_vma=False))
+        pal = jax.jit(shard_map_fn(
+            lambda xl: halo_exchange_left(
+                xl, 8, TIME_AXIS, impl="pallas",
+                axis_names=mesh.axis_names, interpret=True),
+            mesh=mesh, in_specs=(P(None, TIME_AXIS),),
+            out_specs=P(None, TIME_AXIS), check_vma=False))
+        a = np.asarray(xla(x))
+        np.testing.assert_array_equal(a, np.asarray(pal(x)))
+        np.testing.assert_array_equal(a[:, :8], 0)  # shard 0 cold start
+
+
 class TestShardedFX:
     def test_matches_golden_full_chain(self):
         d = 4
