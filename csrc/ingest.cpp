@@ -147,6 +147,15 @@ int ingest_set_delay(void* h, int ant, int pol, long long delay,
   return 0;
 }
 
+namespace {
+
+// Core packet scatter; caller holds ig->mu.  Returns 0 ok, -1 late,
+// -2 bad args, -3 too far in the future.
+int submit_locked(Ingest* ig, int ant, int pol, uint64_t timestamp,
+                  const uint8_t* payload, uint64_t n_samples, int format);
+
+}  // namespace
+
 // Scatter one packet: `n_samples` contiguous samples of (ant, pol)
 // starting at absolute sample index `timestamp`.  format: 0 = int8
 // payload, 1 = 10-bit packed payload.  Returns 0 ok, -1 late-drop,
@@ -154,12 +163,46 @@ int ingest_set_delay(void* h, int ant, int pol, long long delay,
 int ingest_submit(void* h, int ant, int pol, uint64_t timestamp,
                   const uint8_t* payload, uint64_t n_samples, int format) {
   auto* ig = static_cast<Ingest*>(h);
+  std::lock_guard<std::mutex> lock(ig->mu);
+  return submit_locked(ig, ant, pol, timestamp, payload, n_samples,
+                       format);
+}
+
+// Burst submission — the shape a NIC ring consumer hands over: parallel
+// descriptor arrays for `n_packets` equal-size payloads stored
+// contiguously.  One lock + one FFI crossing for the whole burst (the
+// per-call ctypes overhead would otherwise dominate any at-rate
+// measurement — and any real-time deployment).  Returns the number of
+// packets accepted.
+long long ingest_submit_burst(void* h, const int* ants, const int* pols,
+                              const uint64_t* timestamps,
+                              const uint8_t* payloads,
+                              uint64_t samples_per_packet,
+                              uint64_t n_packets, int format) {
+  auto* ig = static_cast<Ingest*>(h);
+  uint64_t payload_bytes = format == 1
+      ? samples_per_packet * 10 / 8 : samples_per_packet;
+  long long ok = 0;
+  std::lock_guard<std::mutex> lock(ig->mu);
+  for (uint64_t i = 0; i < n_packets; ++i) {
+    if (submit_locked(ig, ants[i], pols[i], timestamps[i],
+                      payloads + i * payload_bytes, samples_per_packet,
+                      format) == 0) {
+      ++ok;
+    }
+  }
+  return ok;
+}
+
+namespace {
+
+int submit_locked(Ingest* ig, int ant, int pol, uint64_t timestamp,
+                  const uint8_t* payload, uint64_t n_samples, int format) {
   if (ant < 0 || ant >= ig->n_ants || pol < 0 || pol >= ig->n_pols ||
       n_samples == 0) {
     ig->packets_bad++;
     return -2;
   }
-  std::lock_guard<std::mutex> lock(ig->mu);
   timestamp += uint64_t(ig->delays[size_t(ant) * ig->n_pols + pol]);
   uint64_t first_chunk = timestamp / ig->chunk_samples;
   uint64_t last_chunk = (timestamp + n_samples - 1) / ig->chunk_samples;
@@ -202,6 +245,8 @@ int ingest_submit(void* h, int ant, int pol, uint64_t timestamp,
   ig->packets_ok++;
   return 0;
 }
+
+}  // namespace
 
 // Retire the oldest chunk into `out` (chunk_bytes).  Returns fill
 // fraction in ppm (1e6 = complete) or -1 if, with force=0, the tail

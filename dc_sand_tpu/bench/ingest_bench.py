@@ -1,0 +1,194 @@
+"""At-rate ingest -> runner benchmark (C15/C21, VERDICT r1 #8).
+
+Drives the native C++ packet assembler exactly the way production would
+— timestamped per-stream packets in, ``ingest_retire`` chunks out — and
+measures the sustained host-side feed rate against the 13.7 Gsamp/s/chip
+real-time floor, in two stages:
+
+* ``ingest_host`` — packets -> reassembled chunk -> (optionally) the
+  runner's vectorised host coarse-delay gather.  This is the whole host
+  feed path in front of the device step; if it cannot beat the floor,
+  the chip starves no matter how fast the kernels are.  With
+  ``delay_in_ingest`` the coarse delay is applied for free at packet
+  placement (NativeIngest.set_delay) and the host gather disappears —
+  the production default.
+* ``ingest_runner`` — the same feed driving ``FXRunner.run`` end to end
+  (device step included).  On the axon dev box each dispatch pays ~30 ms
+  of tunnel RPC, so this number is a lower bound dominated by transport;
+  the JSON records the chunk count so the fixed cost is visible.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from dc_sand_tpu.bench.harness import BenchResult
+from dc_sand_tpu.bench.pipelines import REALTIME_FLOOR_PER_CHIP
+
+__all__ = ["bench_ingest_host", "bench_ingest_runner"]
+
+
+def _make_bursts(a, p, c_samp, n_chunks, packet_samples, seed=0):
+    """Per-chunk burst descriptors in NIC-ring shape: parallel
+    (ant, pol, timestamp) arrays + one contiguous payload buffer per
+    chunk (packet order (ant, pol, offset) IS the chunk layout, so the
+    chunk's own bytes serve as the burst payload)."""
+    rng = np.random.default_rng(seed)
+    data = rng.integers(-100, 100, (a, p, n_chunks * c_samp),
+                        dtype=np.int8)
+    npk = c_samp // packet_samples
+    ants = np.repeat(np.arange(a, dtype=np.int32), p * npk)
+    pols = np.tile(np.repeat(np.arange(p, dtype=np.int32), npk), a)
+    offs = np.tile(np.arange(npk, dtype=np.uint64) * packet_samples,
+                   a * p)
+    bursts = []
+    for i in range(n_chunks):
+        base = i * c_samp
+        payload = np.ascontiguousarray(
+            data[..., base:base + c_samp]).tobytes()
+        bursts.append((ants, pols, offs + np.uint64(base), payload))
+    return data, bursts
+
+
+def bench_ingest_host(n_ants: int = 64, n_pols: int = 2,
+                      n_chans: int = 1024, spectra: int = 64,
+                      n_chunks: int = 8, packet_samples: int = 16384,
+                      delay_in_ingest: bool = True, n_workers: int = 1,
+                      max_delay: int = 64) -> BenchResult:
+    """Host feed path: submit -> retire -> coarse delay, no device.
+
+    ``n_workers > 1`` shards the antennas over that many independent
+    ingest instances driven from threads — the production layout (one
+    reassembler per antenna group / NIC queue; ctypes releases the GIL
+    during the native burst, so workers genuinely overlap).  One full
+    pass over the ring warms the slot pages before timing (first-touch
+    page faults otherwise read as 10x the steady-state cost).
+    """
+    import threading
+
+    from dc_sand_tpu.runtime.ingest import NativeIngest
+    a, p = n_ants, n_pols
+    if a % n_workers:
+        raise ValueError(f"{a} antennas must divide over {n_workers}")
+    aw = a // n_workers
+    c_samp = spectra * 2 * n_chans
+    rng = np.random.default_rng(1)
+    delays = rng.integers(0, max_delay, (a, p))
+
+    workers = []
+    for w in range(n_workers):
+        _, bursts = _make_bursts(aw, p, c_samp, n_chunks, packet_samples,
+                                 seed=w)
+        ing = NativeIngest(aw, p, c_samp, n_slots=4)
+        if delay_in_ingest:
+            for ai in range(aw):
+                for pi in range(p):
+                    ing.set_delay(ai, pi,
+                                  int(delays[w * aw + ai, pi]), max_delay)
+        workers.append((ing, bursts))
+
+    def drive(w, timed_chunks):
+        ing, bursts = workers[w]
+        host_tail = np.zeros((aw, p, max_delay), np.int8)
+        for i in timed_chunks:
+            ants, pols, tss, payload = bursts[i % n_chunks]
+            ing.submit_burst(ants, pols, tss, payload, packet_samples)
+            chunk, _fill = ing.retire(force=True)
+            if not delay_in_ingest:
+                # the runner's vectorised host gather (runner.py)
+                buf = np.concatenate([host_tail, chunk], axis=-1)
+                win = np.lib.stride_tricks.sliding_window_view(
+                    buf, c_samp, axis=-1)
+                sel = (max_delay - delays[w * aw:(w + 1) * aw]
+                       .astype(np.int64))[..., None, None]
+                chunk = np.ascontiguousarray(
+                    np.take_along_axis(win, sel, axis=2)[..., 0, :])
+                host_tail = buf[..., -max_delay:]
+
+    # warm: one pass over every ring slot (page first-touch)
+    for w in range(n_workers):
+        drive(w, range(min(4, n_chunks)))
+
+    t0 = time.perf_counter()
+    if n_workers == 1:
+        drive(0, range(n_chunks))
+    else:
+        ts = [threading.Thread(target=drive, args=(w, range(n_chunks)))
+              for w in range(n_workers)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    wall = time.perf_counter() - t0
+    samples = a * p * c_samp * n_chunks
+    rate = samples / wall
+    name = f"ingest_host_{'placed' if delay_in_ingest else 'gather'}"
+    if n_workers > 1:
+        name += f"_{n_workers}w"
+    return BenchResult(
+        name=name,
+        metric="host ingest feed samples/s", value=rate, unit="samp/s",
+        wall_s=wall / n_chunks, bytes_moved=samples,
+        extra={"n_ants": a, "n_chans": n_chans, "spectra": spectra,
+               "packet_samples": packet_samples,
+               "delay_in_ingest": delay_in_ingest,
+               "n_workers": n_workers, "n_chunks": n_chunks,
+               "vs_realtime_floor": rate / REALTIME_FLOOR_PER_CHIP,
+               "stats": workers[0][0].stats()},
+    ).finish()
+
+
+def bench_ingest_runner(n_ants: int = 16, n_pols: int = 2,
+                        n_chans: int = 1024, spectra: int = 64,
+                        n_chunks: int = 8,
+                        packet_samples: int = 16384) -> BenchResult:
+    """End to end: packets -> native ingest -> FXRunner (device step)."""
+    from dc_sand_tpu.config import get_config
+    from dc_sand_tpu.runtime import DelayModel, FXRunner
+    from dc_sand_tpu.runtime.ingest import NativeIngest
+    from dc_sand_tpu.windows import pfb_window
+
+    cfg = get_config("fx64").replace(
+        n_ants=n_ants, n_pols=n_pols, n_chans=n_chans,
+        spectra_per_chunk=spectra, n_spectra_per_acc=spectra * 2)
+    a, p, c_samp = n_ants, n_pols, cfg.chunk_samples
+    md = 64
+    data, bursts = _make_bursts(a, p, c_samp, n_chunks, packet_samples)
+    ing = NativeIngest(a, p, c_samp, n_slots=4)
+    dm = DelayModel.zeros(a, p, max_delay=md)
+    rng = np.random.default_rng(1)
+    dm.d0 = rng.integers(0, md, (a, p)).astype(float)
+    # coarse rides packet placement (free); the runner sees coarse=0 and
+    # applies only the fine-delay/fringe residual on device
+    for ai in range(a):
+        for pi in range(p):
+            ing.set_delay(ai, pi, int(dm.d0[ai, pi]), md)
+    rdm = DelayModel.zeros(a, p)
+    rdm.d1 = dm.d1
+    rdm.p1 = dm.p1
+    window = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
+    runner = FXRunner(cfg, window, delay_model=rdm, impl="auto")
+
+    def source(i):
+        ants, pols, tss, payload = bursts[i % n_chunks]
+        ing.submit_burst(ants, pols, tss, payload, packet_samples)
+        return ing.retire(force=True)[0]
+
+    runner.run(source, 1)          # warm the compiled step
+    t0 = time.perf_counter()
+    runner.run(source, n_chunks - 1)
+    wall = time.perf_counter() - t0
+    samples = a * p * c_samp * (n_chunks - 1)
+    rate = samples / wall
+    return BenchResult(
+        name="ingest_runner_e2e",
+        metric="ingest->runner samples/s", value=rate, unit="samp/s",
+        wall_s=wall / (n_chunks - 1), bytes_moved=samples,
+        extra={"n_ants": a, "n_chans": n_chans, "spectra": spectra,
+               "n_chunks": n_chunks - 1,
+               "dispatch_note": "includes per-chunk tunnel RPC on the "
+                                "axon dev box",
+               "vs_realtime_floor": rate / REALTIME_FLOOR_PER_CHIP},
+    ).finish()

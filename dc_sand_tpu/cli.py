@@ -157,6 +157,12 @@ def _run_bench(args) -> int:
         for pat in PATTERNS:
             results.append(bench_membench(pat))
         results.append(bench_h2d())
+    elif args.target == "ingest":
+        from dc_sand_tpu.bench.ingest_bench import (bench_ingest_host,
+                                                    bench_ingest_runner)
+        results.append(bench_ingest_host(delay_in_ingest=True))
+        results.append(bench_ingest_host(delay_in_ingest=False))
+        results.append(bench_ingest_runner())
     elif args.target == "scaling":
         from dc_sand_tpu.bench.scaling import bench_scaling
         results.extend(bench_scaling(max_devices=args.mesh or 8))
@@ -210,7 +216,8 @@ def main(argv=None) -> int:
     pb = sub.add_parser("bench", help="benchmark on the local chip")
     pb.add_argument("target", nargs="?", default="fengine",
                     choices=["fengine", "pfb", "fx", "xcorr", "beamform",
-                             "collectives", "membench", "scaling"])
+                             "collectives", "membench", "scaling",
+                             "ingest"])
     pb.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler (xprof/perfetto) trace")
     _add_common(pb)

@@ -42,6 +42,11 @@ def load_library() -> ctypes.CDLL:
     lib.ingest_submit.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int]
+    lib.ingest_submit_burst.restype = ctypes.c_longlong
+    lib.ingest_submit_burst.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int]
     lib.ingest_retire.restype = ctypes.c_longlong
     lib.ingest_retire.argtypes = [ctypes.c_void_p,
                                   ctypes.POINTER(ctypes.c_int8),
@@ -109,6 +114,29 @@ class NativeIngest:
                 n_samples = len(payload)
         return self._lib.ingest_submit(self._h, ant, pol, timestamp,
                                        payload, n_samples, fmt)
+
+    def submit_burst(self, ants: np.ndarray, pols: np.ndarray,
+                     timestamps: np.ndarray, payloads,
+                     samples_per_packet: int,
+                     fmt: int = FORMAT_INT8) -> int:
+        """Submit a burst of equal-size packets in ONE native call.
+
+        ``ants``/``pols`` int32, ``timestamps`` uint64 (parallel arrays,
+        one entry per packet); ``payloads`` the packets' bytes stored
+        contiguously.  This is the NIC-ring shape a real receiver hands
+        over; per-packet Python calls cost ~35 us each in ctypes
+        overhead alone (measured), which would dominate any at-rate
+        feed.  Returns the number of packets accepted."""
+        ants = np.ascontiguousarray(ants, np.int32)
+        pols = np.ascontiguousarray(pols, np.int32)
+        timestamps = np.ascontiguousarray(timestamps, np.uint64)
+        n = len(ants)
+        return self._lib.ingest_submit_burst(
+            self._h,
+            ants.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            pols.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            timestamps.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            payloads, samples_per_packet, n, fmt)
 
     def retire(self, force: bool = False):
         """-> (chunk int8 (A,P,C) or None, fill_fraction)."""

@@ -143,16 +143,21 @@ class FXRunner:
             if self._host_tail is not None:
                 # host-side coarse delay: read-pointer offset into
                 # [tail | chunk]; the tail carries the previous chunk's
-                # last max_delay raw samples (zeros at stream start)
+                # last max_delay raw samples (zeros at stream start).
+                # Vectorised: a zero-copy sliding-window view over the
+                # concatenated buffer + one take_along_axis gather — no
+                # per-stream Python loop in the real-time feed path.
+                # (The truly free home for coarse delay is packet
+                # placement in the native ingest: NativeIngest.set_delay;
+                # see bench/ingest_bench.py for the at-rate comparison.)
                 buf = np.concatenate([self._host_tail, chunk], axis=-1)
-                delayed = np.empty_like(chunk)
                 md = self.max_delay
-                for ai in range(cfg.n_ants):
-                    for pi in range(cfg.n_pols):
-                        off = md - int(coarse[ai, pi])
-                        delayed[ai, pi] = buf[ai, pi, off:off + c_samp]
+                win = np.lib.stride_tricks.sliding_window_view(
+                    buf, c_samp, axis=-1)          # (A, P, md+1, c)
+                sel = (md - coarse.astype(np.int64))[..., None, None]
+                chunk = np.ascontiguousarray(
+                    np.take_along_axis(win, sel, axis=2)[..., 0, :])
                 self._host_tail = buf[..., -md:] if md else self._host_tail
-                chunk = delayed
             reset = self._acc_spectra == 0
             if reset:
                 self._acc_first_chunk = i
