@@ -42,8 +42,15 @@ def cmd_verify(args) -> int:
         from dc_sand_tpu.parallel import build_mesh
         mesh = build_mesh(n_devices=args.mesh or args.time_shards,
                           time_shards=args.time_shards)
+    kw = {}
+    if args.production_cadence:
+        # full config cadence (e.g. fx64: 256-spectra chunks, 1024
+        # spectra/dump); golden compared on a random baseline subset
+        kw = dict(spectra_per_chunk=None, n_spectra_per_acc=None,
+                  baseline_subset=128)
     snrs = verify_config(args.config, scale=args.scale, mesh=mesh,
-                         impl=args.impl, time_shards=args.time_shards)
+                         impl=args.impl, time_shards=args.time_shards,
+                         **kw)
     counters = snrs.pop("_counters", None)
     ok = all(v > SNR_BOUND for v in snrs.values())
     for stage, v in snrs.items():
@@ -62,11 +69,13 @@ def cmd_verify(args) -> int:
                 capture_output=True, text=True).stdout.strip() or "nogit"
         except Exception:
             commit = "nogit"
-        path = (f"bench/results/verify_{args.config}_{commit}_"
+        vname = args.config + ("_production" if args.production_cadence
+                               else "")
+        path = (f"bench/results/verify_{vname}_{commit}_"
                 f"{int(time.time())}.json")
         with open(path, "w") as f:
             f.write(_json.dumps({
-                "name": f"verify_{args.config}",
+                "name": f"verify_{vname}",
                 "metric": "min stage SNR", "unit": "dB",
                 "value": min(snrs.values()), "wall_s": 0.0,
                 "extra": {k: v for k, v in snrs.items()},
@@ -201,6 +210,9 @@ def main(argv=None) -> int:
     pv.add_argument("config")
     pv.add_argument("--record", action="store_true",
                     help="write an SNR regression record under bench/results")
+    pv.add_argument("--production-cadence", action="store_true",
+                    help="run the config's real chunk/integration "
+                         "cadence (golden compared on a baseline subset)")
     _add_common(pv)
     pv.set_defaults(fn=cmd_verify)
 
