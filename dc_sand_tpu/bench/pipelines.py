@@ -17,19 +17,70 @@ from dc_sand_tpu.bench.harness import BenchResult, time_throughput
 from dc_sand_tpu.models import f_engine
 from dc_sand_tpu.windows import pfb_window
 
-__all__ = ["bench_fengine", "REALTIME_FLOOR_PER_CHIP"]
+__all__ = ["bench_fengine", "REALTIME_FLOOR_PER_CHIP",
+           "fengine_cost_model"]
 
 REALTIME_FLOOR_PER_CHIP = 13.7e9  # real samp/s/chip, BASELINE.md [D]
+
+# measured unit capabilities of this box's v5e (bench/results micro
+# records, 2026-08-17): fp32 VPU FMA chain, MXU dot_general by mode at
+# stage-2-like shapes, HBM spec.  Used only for ATTRIBUTION (which unit
+# bounds the kernel), not for the reported throughput.
+_VPU_FLOPS = 3.86e12
+_MXU_FLOPS = {"fp32": 12.9e12, "bf16x3": 49.3e12, "int16": 60e12}
+_HBM_BYTES_S = 819e9
+
+
+def fengine_cost_model(n_chans: int, taps: int = 16,
+                       stage2: str = "fp32", m1: int = None) -> dict:
+    """Analytic per-sample cost of the fused F-engine, per unit.
+
+    Returns FLOP/sample on the VPU (FIR FMAs + radix stage-1 + twiddle +
+    phasor + requant), FLOP/sample on the MXU (stage-2 matmul-DFT =
+    4*m1, scaled by the mode's measured effective rate), HBM
+    bytes/sample, and the predicted bottleneck — the unit with the
+    largest time share at the measured unit rates.  This is the
+    'report the bottleneck explicitly' accounting VERDICT r1 #9 asked
+    for; the recorded benches carry it in ``extra``.
+    """
+    import math
+
+    from dc_sand_tpu.ops.fengine_fused import _factor
+    m = 2 * n_chans
+    m1v, m2 = _factor(m, m1)
+    # VPU: FIR 2*taps; radix-2 stage-1 ~ 5*log2(m2) cplx-ish tile ops;
+    # twiddle apply 6; post-stage-2 phasor+gain+quant ~ 16 on the
+    # half-width outputs (= 8 per sample)
+    vpu = 2.0 * taps + 5.0 * math.log2(m2) + 6.0 + 8.0
+    mxu = 4.0 * m1v
+    hbm = 2.0  # int8 in + int8 out (everything else lives in VMEM)
+    times = {
+        "vpu": vpu / _VPU_FLOPS,
+        "mxu": mxu / _MXU_FLOPS.get(stage2, _MXU_FLOPS["fp32"]),
+        "hbm": hbm / _HBM_BYTES_S,
+    }
+    bottleneck = max(times, key=times.get)
+    tot = sum(times.values())
+    return {
+        "vpu_flop_per_samp": vpu,
+        "mxu_flop_per_samp": mxu,
+        "hbm_bytes_per_samp": hbm,
+        "bottleneck": bottleneck,
+        "time_share": {k: v / tot for k, v in times.items()},
+        "bound_gsamp_s": 1e-9 / times[bottleneck],
+    }
 
 
 def bench_fengine(n_streams: int = 16, n_spectra: int = 512,
                   n_chans: int = 1024, taps: int = 16,
                   impl: str = "auto", full_chain: bool = True,
+                  stage2: str = None,
                   iters: int = 256) -> BenchResult:
     """F-engine throughput on one chip.
 
     ``full_chain=True`` adds fine-delay/fringe + requant (config-2 shape,
-    BASELINE.json:8); False is the bare PFB (config 1).
+    BASELINE.json:8); False is the bare PFB (config 1).  ``stage2``
+    picks the fused kernel's stage-2 precision mode.
     """
     m = 2 * n_chans
     n_frames = n_spectra + taps - 1
@@ -56,12 +107,13 @@ def bench_fengine(n_streams: int = 16, n_spectra: int = 512,
 
         def step(xx, fd_, ph_, g_):
             return f_engine(xx, w, taps, n_chans, frac_delay=fd_, phase=ph_,
-                            gains=g_, impl=impl)
+                            gains=g_, impl=impl, stage2=stage2)
 
         args = (x, fd, ph, gains)
     else:
         def step(xx):
-            return f_engine(xx, w, taps, n_chans, impl=impl)
+            return f_engine(xx, w, taps, n_chans, impl=impl,
+                            stage2=stage2)
 
         args = (x,)
 
@@ -72,13 +124,20 @@ def bench_fengine(n_streams: int = 16, n_spectra: int = 512,
     # once) + output (int8 x2 quantised, or fp32 x2 unquantised).
     out_bytes = n_streams * n_spectra * n_chans * (2 if full_chain else 8)
     bytes_moved = samples * 1 + out_bytes
+    extra = {"n_streams": n_streams, "n_spectra": n_spectra,
+             "n_chans": n_chans, "taps": taps, "impl": impl,
+             "stage2": stage2,
+             "vs_realtime_floor": rate / REALTIME_FLOOR_PER_CHIP}
+    try:
+        extra["cost_model"] = fengine_cost_model(
+            n_chans, taps, stage2 or "fp32")
+        extra["bottleneck"] = extra["cost_model"]["bottleneck"]
+    except ValueError:
+        pass  # shape the fused kernel does not tile
     return BenchResult(
         name=f"fengine_{'full' if full_chain else 'pfb'}_{impl}",
         metric="channelized samples/s/chip", value=rate, unit="samp/s",
-        wall_s=wall, bytes_moved=bytes_moved,
-        extra={"n_streams": n_streams, "n_spectra": n_spectra,
-               "n_chans": n_chans, "taps": taps, "impl": impl,
-               "vs_realtime_floor": rate / REALTIME_FLOOR_PER_CHIP},
+        wall_s=wall, bytes_moved=bytes_moved, extra=extra,
     ).finish()
 
 

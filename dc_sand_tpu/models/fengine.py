@@ -45,7 +45,8 @@ def f_engine(x: jax.Array, window: jax.Array, taps: int, n_chans: int, *,
              frac_delay: Optional[jax.Array] = None,
              phase: Optional[jax.Array] = None,
              gains: Optional[jax.Array] = None,
-             impl: str = "auto") -> jax.Array:
+             impl: str = "auto",
+             stage2: Optional[str] = None) -> jax.Array:
     """Full F-engine on ``x: (..., t)`` int8/float real streams.
 
     Wire format (complex never crosses the jit boundary — see
@@ -80,7 +81,7 @@ def f_engine(x: jax.Array, window: jax.Array, taps: int, n_chans: int, *,
                     g = c2ri(g)
                 g = jnp.broadcast_to(g, (n_chans, 2))
             return fengine_fused(x, window, taps, n_chans, frac_delay=fd,
-                                 phase=ph, gains=g,
+                                 phase=ph, gains=g, stage2=stage2,
                                  interpret=(impl == "fused_interpret"))
         impl = "jnp"
     fir = ops.pfb_fir(x, window, taps, m, impl=impl)

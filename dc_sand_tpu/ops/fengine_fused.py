@@ -481,11 +481,15 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
         wmi, wmi_lo = split14(wmi)
         w_scale = 1.0 / 16256.0
     elif stage2 == "bf16x3":
+        import ml_dtypes
+
         def splitb(wm):
-            wh = jnp.asarray(wm, jnp.bfloat16)
-            wl = jnp.asarray(wm - np.asarray(wh, np.float32),
-                             jnp.bfloat16)
-            return wh, wl
+            # pure-numpy hi/lo split: fengine_fused may run inside a jit
+            # trace, where round-tripping a jnp array through numpy
+            # would touch a tracer
+            wh = wm.astype(ml_dtypes.bfloat16)
+            wl = (wm - wh.astype(np.float32)).astype(ml_dtypes.bfloat16)
+            return jnp.asarray(wh), jnp.asarray(wl)
         wmr, wmr_lo = splitb(wmr)
         wmi, wmi_lo = splitb(wmi)
         w_scale = 1.0
