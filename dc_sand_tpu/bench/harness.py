@@ -86,29 +86,36 @@ def time_throughput(fn: Callable, args: tuple, iters: int = 256,
     import jax.numpy as jnp
     import numpy as np
 
-    def body(carry, _):
-        x, c = carry
-        call_args = list(args)
-        call_args[perturb] = x
-        out = fn(*call_args)
-        leaves = [jax.lax.optimization_barrier(leaf)
-                  for leaf in jax.tree_util.tree_leaves(out)]
-        s = sum(leaf.ravel()[0].astype(jnp.float32) for leaf in leaves)
-        bump = (c.astype(jnp.int32) % 2).astype(x.dtype)
-        x = x.at[(0,) * x.ndim].add(bump)
-        return (x, c + s), ()
+    # every arg rides as a real program parameter — a closed-over device
+    # array would be baked into the program as a constant (harmless for
+    # a gains table, fatal for a 1 GB accumulator, and it bloats the
+    # server-side compile either way)
+    others = [a for i, a in enumerate(args) if i != perturb]
 
-    def loop(x0):
+    def loop(x0, *rest):
+        def body(carry, _):
+            x, c = carry
+            call_args = list(rest)
+            call_args.insert(perturb, x)
+            out = fn(*call_args)
+            leaves = [jax.lax.optimization_barrier(leaf)
+                      for leaf in jax.tree_util.tree_leaves(out)]
+            s = sum(leaf.ravel()[0].astype(jnp.float32)
+                    for leaf in leaves)
+            bump = (c.astype(jnp.int32) % 2).astype(x.dtype)
+            x = x.at[(0,) * x.ndim].add(bump)
+            return (x, c + s), ()
+
         (_, total), _ = jax.lax.scan(body, (x0, jnp.float32(0.0)), None,
                                      length=iters)
         return total
 
     x0 = args[perturb]
-    compiled = jax.jit(loop).lower(x0).compile()
-    np.asarray(compiled(x0))                       # server warm (slow)
+    compiled = jax.jit(loop).lower(x0, *others).compile()
+    np.asarray(compiled(x0, *others))              # server warm (slow)
     x1 = jax.block_until_ready(jax.jit(lambda v: v + 1)(x0))
     t0 = time.perf_counter()
-    val = np.asarray(compiled(x1))                 # the timed dispatch
+    val = np.asarray(compiled(x1, *others))        # the timed dispatch
     wall = time.perf_counter() - t0
     assert val == val, "NaN checksum"
     return wall / iters

@@ -21,26 +21,43 @@ __all__ = ["bench_xcorr", "bench_beamform"]
 
 
 def bench_xcorr(n_ants: int = 64, n_pols: int = 2, n_chans: int = 4096,
-                n_spectra: int = 256, iters: int = 64) -> BenchResult:
+                n_spectra: int = 256, iters: int = 64,
+                mode: str = "accumulate") -> BenchResult:
     """X-engine CMAC throughput: baselines/s and CMAC/s on the int8 MXU
-    path (BASELINE.json:2 primary metric 2)."""
+    path (BASELINE.json:2 primary metric 2).
+
+    ``mode="accumulate"`` measures the streaming path the FX step
+    actually runs — the Pallas in-place block-accumulator CMAC
+    (ops.xcorr_accumulate), accumulator traffic included;
+    ``mode="extract"`` is the legacy per-chunk extract+gather form."""
     ap = n_ants * n_pols
-    rng = np.random.default_rng(0)
     q = jax.block_until_ready(jax.jit(
         lambda: (jax.random.normal(
             jax.random.key(0),
             (n_chans, n_ants, n_pols, n_spectra, 2)) * 30)
         .astype(jnp.int8))())
-    wall = time_throughput(ops.xcorr, (q,), iters=iters)
+    if mode == "accumulate":
+        acc = jax.block_until_ready(
+            jnp.zeros(ops.acc_shape(n_ants, n_pols, n_chans), jnp.int32))
+        # acc rides as a real argument: a closed-over array would be
+        # baked into the program as a (gigabyte) constant
+        wall = time_throughput(
+            lambda q_, a_: ops.xcorr_accumulate(a_, q_), (q, acc),
+            iters=iters)
+        acc_bytes = 2 * acc.size * 4          # read + write per chunk
+    else:
+        wall = time_throughput(ops.xcorr, (q,), iters=iters)
+        acc_bytes = 0
     n_bl = len(baseline_pairs(n_ants))
     # complex MACs: full ap x ap matrix per channel per spectrum (the
     # computation actually performed; the triangle is what's kept)
     cmacs = n_chans * ap * ap * n_spectra
     kept_cmacs = n_chans * n_bl * 4 * n_spectra
     in_bytes = q.size
-    out_bytes = n_bl * n_pols * n_pols * n_chans * 2 * 4
+    out_bytes = (acc_bytes if mode == "accumulate"
+                 else n_bl * n_pols * n_pols * n_chans * 2 * 4)
     return BenchResult(
-        name="xcorr_cmac",
+        name=f"xcorr_cmac_{mode}",
         metric="correlator baselines/s",
         value=n_bl * n_chans * n_spectra / wall,
         unit="baseline-chan-spectra/s", wall_s=wall,
@@ -48,6 +65,7 @@ def bench_xcorr(n_ants: int = 64, n_pols: int = 2, n_chans: int = 4096,
         extra={"cmac_per_s": cmacs / wall,
                "kept_cmac_per_s": kept_cmacs / wall,
                "int8_tops": 8 * cmacs / wall / 1e12,
+               "mode": mode,
                "n_ants": n_ants, "n_chans": n_chans,
                "n_spectra": n_spectra},
     ).finish()
