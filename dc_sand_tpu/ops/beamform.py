@@ -4,18 +4,35 @@ Golden semantics: :func:`dc_sand_tpu.golden.chain.beamform` /
 :func:`~dc_sand_tpu.golden.chain.incoherent_sum` (BASELINE.json:11).
 
 TPU-first design: per channel the coherent beam is a (beam, ant) x
-(ant, pol*time) matmul — MXU work, expressed as four real float32 einsums
-(complex split into re/im).  float32 with HIGHEST precision: the int8
-samples are exact in fp32 and the weights need full mantissa for the
->50 dB bound.  When antennas are sharded over the mesh the caller psums
-the partial beams over the ``ant`` axis (SURVEY.md §2.3 parallelism table:
+(ant, pol*time) matmul — MXU work.  Two implementations share the math:
+
+* ``jnp`` — four real float32 einsums at HIGHEST precision (fallback,
+  CPU, and odd shapes).
+* ``pallas`` — a kernel whose grid walks channel tiles; per channel ONE
+  real matmul computes the whole complex product via the stacked-real
+  form ``[yr; yi] = [[wr, -wi], [wi, wr]] @ [xr; xi]``, with the weight
+  matrix pre-split hi/lo into bfloat16 (two bf16 MXU passes, fp32
+  accumulation ~= 16-bit effective weight mantissa) and the int8
+  samples cast to bfloat16 EXACTLY (|x| <= 127 fits bf16's 8-bit
+  mantissa).  This is C10's native kernel per SURVEY.md:146-150 —
+  stage-2 of the fused F-engine uses the same split trick.
+
+When antennas are sharded over the mesh the caller psums the partial
+beams over the ``ant`` axis (SURVEY.md §2.3 parallelism table:
 beam-parallel is the EP analog).
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dc_sand_tpu.ops._dispatch import resolve_impl
 
 __all__ = ["beamform", "incoherent_sum"]
 
@@ -30,7 +47,64 @@ def _split_ri(x: jax.Array):
     return x[..., 0].astype(jnp.float32), x[..., 1].astype(jnp.float32)
 
 
-def beamform(x: jax.Array, weights: jax.Array) -> jax.Array:
+def _bf_kernel(w_hi_ref, w_lo_ref, x_ref, out_ref, *, kt):
+    # w refs: (kt, 2B, 2A) bf16; x: (kt, 2A, PB) bf16; out (kt, 2B, PB)
+    for c in range(kt):
+        x = x_ref[c]
+
+        def dot(w):
+            return jax.lax.dot_general(
+                w, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        out_ref[c] = dot(w_hi_ref[c]) + dot(w_lo_ref[c])
+
+
+def _beamform_pallas(xr, xi, wr, wi, interpret=False):
+    """xr/xi: (ant, pol, b, k) float32 (exact int8 values); wr/wi:
+    (beam, ant, k) float32.  Returns (beam, pol, b, k, 2) float32."""
+    a, p, b, k = xr.shape
+    nb = wr.shape[0]
+    # stacked-real operands, channel-major
+    x2 = jnp.concatenate([xr, xi], axis=0)          # (2a, p, b, k)
+    x2 = jnp.moveaxis(x2.reshape(2 * a, p * b, k), 2, 0)  # (k, 2a, pb)
+    x2 = x2.astype(jnp.bfloat16)                    # exact for int8 data
+    w2 = jnp.concatenate([
+        jnp.concatenate([wr, -wi], axis=1),
+        jnp.concatenate([wi, wr], axis=1),
+    ], axis=0)                                      # (2nb, 2a, k)
+    w2 = jnp.moveaxis(w2, 2, 0)                     # (k, 2nb, 2a)
+    w_hi = w2.astype(jnp.bfloat16)
+    w_lo = (w2 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    kt = 1
+    for cand in (8, 4, 2, 1):
+        if k % cand == 0:
+            kt = cand
+            break
+    out = pl.pallas_call(
+        functools.partial(_bf_kernel, kt=kt),
+        grid=(k // kt,),
+        in_specs=[
+            pl.BlockSpec((kt, 2 * nb, 2 * a), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, 2 * nb, 2 * a), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, 2 * a, p * b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kt, 2 * nb, p * b), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, 2 * nb, p * b), jnp.float32),
+        interpret=interpret,
+    )(w_hi, w_lo, x2)
+    # (k, 2nb, pb) -> (beam, pol, b, k, 2)
+    out = jnp.moveaxis(out, 0, 2).reshape(2, nb, p, b, k)
+    return jnp.stack([out[0], out[1]], axis=-1)
+
+
+def beamform(x: jax.Array, weights: jax.Array,
+             impl: str = "auto") -> jax.Array:
     """``y[e,p,b,k] = sum_a w[e,a,k] * x[a,p,b,k]``.
 
     ``x: (ant, pol, b, k, 2)`` int8/float32 wire format (or complex);
@@ -39,6 +113,16 @@ def beamform(x: jax.Array, weights: jax.Array) -> jax.Array:
     """
     xr, xi = _split_ri(x)
     wr, wi = _split_ri(weights)
+    rimpl = resolve_impl(impl)
+    a, p, b, k = xr.shape
+    nb = wr.shape[0]
+    # Pallas wants lane-tileable operands; int8 samples are exact in the
+    # kernel's bf16 cast, so only quantised (int8) inputs take it
+    if (rimpl.startswith("pallas") and x.dtype == jnp.int8
+            and (p * b) % 128 == 0 and (2 * a) % 8 == 0
+            and 2 * nb >= 8):
+        return _beamform_pallas(xr, xi, wr, wi,
+                                interpret=(rimpl == "pallas_interpret"))
 
     def mm(w_, x_):
         return jnp.einsum("eak,apbk->epbk", w_, x_, precision=_P)

@@ -248,6 +248,37 @@ class TestFusedFEngine:
         assert snr_db(ref, np_ri2c(out)) > 50
 
 
+class TestBeamformPallas:
+    def test_pallas_matches_jnp_and_golden(self):
+        """C10's Pallas kernel (stacked-real bf16-split matmul per
+        channel) vs the fp32 einsum path and the float64 golden."""
+        rng = np.random.default_rng(55)
+        a, p, b, k, nb = 4, 2, 64, 16, 4
+        q = rng.integers(-100, 100, (a, p, b, k, 2), dtype=np.int8)
+        w = rng.normal(size=(nb, a, k, 2)).astype(np.float32)
+        ref_j = np.asarray(ops.beamform(jnp.asarray(q), jnp.asarray(w),
+                                        impl="jnp"))
+        got = np.asarray(ops.beamform(jnp.asarray(q), jnp.asarray(w),
+                                      impl="pallas_interpret"))
+        assert got.shape == ref_j.shape
+        assert snr_db(ref_j, got) > 85      # bf16-split weight mantissa
+        qc = q[..., 0] + 1j * q[..., 1]
+        wg = w[..., 0] + 1j * w[..., 1]
+        ref_g = golden.beamform(qc, wg)
+        assert snr_db(ref_g, np_ri2c(got)) > 85
+
+    def test_float_input_stays_on_einsum(self):
+        """Non-int8 inputs (not exact in bf16) keep the fp32 path."""
+        rng = np.random.default_rng(56)
+        x = rng.normal(size=(4, 2, 64, 16, 2)).astype(np.float32)
+        w = rng.normal(size=(4, 4, 16, 2)).astype(np.float32)
+        got = np.asarray(ops.beamform(jnp.asarray(x), jnp.asarray(w),
+                                      impl="pallas_interpret"))
+        ref = np.asarray(ops.beamform(jnp.asarray(x), jnp.asarray(w),
+                                      impl="jnp"))
+        np.testing.assert_array_equal(got, ref)
+
+
 class TestXcorrAccumulate:
     """Streaming block accumulator + dump-time extraction (C8/C9) vs the
     per-chunk golden xcorr; Pallas CMAC kernel in interpret mode."""
