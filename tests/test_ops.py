@@ -248,6 +248,33 @@ class TestFusedFEngine:
         assert snr_db(ref, np_ri2c(out)) > 50
 
 
+class TestRadixCodegen:
+    """The fused kernel's trace-time radix-2 FFT codegen (_dft_tiles)
+    vs numpy's FFT, directly on numpy 'tiles' — the stage-1 oracle."""
+
+    @pytest.mark.parametrize("n", [4, 8, 16, 32, 64])
+    def test_matches_numpy_fft(self, n):
+        from dc_sand_tpu.ops.fengine_fused import _dft_tiles
+        rng = np.random.default_rng(n)
+        vals = rng.normal(size=(n, 3, 5))      # n real tiles
+        out = _dft_tiles([(vals[i], None) for i in range(n)])
+        ref = np.fft.fft(vals, axis=0)
+        for k in range(n):
+            re = out[k][0] if out[k][0] is not None else 0.0
+            im = out[k][1] if out[k][1] is not None else 0.0
+            np.testing.assert_allclose(re, ref[k].real, atol=1e-12)
+            np.testing.assert_allclose(im, ref[k].imag, atol=1e-12)
+
+    def test_real_input_elision(self):
+        """k=0 and k=n/2 outputs of a real-input DFT stay exactly real
+        (im component None — never materialised)."""
+        from dc_sand_tpu.ops.fengine_fused import _dft_tiles
+        vals = [(np.ones((2, 2)) * i, None) for i in range(8)]
+        out = _dft_tiles(vals)
+        assert out[0][1] is None
+        assert out[4][1] is None
+
+
 class TestBeamformPallas:
     def test_pallas_matches_jnp_and_golden(self):
         """C10's Pallas kernel (stacked-real bf16-split matmul per
