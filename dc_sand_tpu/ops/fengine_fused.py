@@ -193,6 +193,63 @@ def _cmul_rt(v, wr, wi):
     return (_subs(rr, ii), _adds(ri, ir))
 
 
+def _bitrev(x: int, bits: int) -> int:
+    r = 0
+    for _ in range(bits):
+        r = (r << 1) | (x & 1)
+        x >>= 1
+    return r
+
+
+def _dif_tables(m2: int, m1: int):
+    """Packed per-stage DIF twiddle vectors.
+
+    Stage s (1-based, block chunk-count N = m2/2^(s-1)) multiplies its
+    difference half by W_N^j per chunk j; as full-lane vectors the
+    stage's table has H_s = (N/2)*m1 lanes with the value constant over
+    each m1-chunk.  All stages pack into one (2, m2*m1) array at static
+    offsets [0, m/2, 3m/4, ...] (total m - m1 lanes)."""
+    m = m2 * m1
+    tbl = np.zeros((2, m), np.float64)
+    offs = []
+    off = 0
+    n = m2
+    while n > 1:
+        h = (n // 2) * m1
+        j = np.repeat(np.arange(n // 2), m1)
+        w = np.exp(-2j * np.pi * j / n)
+        tbl[0, off:off + h] = w.real
+        tbl[1, off:off + h] = w.imag
+        offs.append((off, h))
+        off += h
+        n //= 2
+    return tbl.astype(np.float32), offs
+
+
+def _dif_fft_blocks(fir, dif_ref, offs, m1: int, m2: int):
+    """Iterative DIF radix-2 FFT over the m2 lane-chunks of ``fir``
+    (tb, m2*m1), operating on CONTIGUOUS lane blocks — the first stages
+    are single ops on (tb, m/2)-wide tiles, which is what keeps the VPU
+    at full-tile efficiency (the per-(k2)-pair small-tile form measured
+    ~4x off VPU peak).  Returns m2 (re, im) pairs of width m1 in
+    BIT-REVERSED k2 order (callers index output ``_bitrev(k2)``)."""
+    blocks = [(fir, None)]
+    for (off, h) in offs:
+        twr = dif_ref[0, off:off + h]
+        twi = dif_ref[1, off:off + h]
+        nxt = []
+        for (re, im) in blocks:
+            lo = (re[:, :h], None if im is None else im[:, :h])
+            hi = (re[:, h:], None if im is None else im[:, h:])
+            u = _cadd(lo, hi)
+            d = _csub(lo, hi)
+            v = _cmul_rt(d, twr, twi)
+            nxt.append(u)
+            nxt.append(v)
+        blocks = nxt
+    return blocks
+
+
 def _fft_tables(m: int, m1_pref: int = None):
     """Twiddle rows + stage-2 DFT matrices.
 
@@ -214,10 +271,10 @@ def _fft_tables(m: int, m1_pref: int = None):
             wmr.astype(np.float32), wmi.astype(np.float32))
 
 
-def _kernel(x_hbm, w_ref, tw_ref, wmr_ref, wmi_ref, wmr_lo_ref,
+def _kernel(x_hbm, w_ref, tw_ref, dif_ref, wmr_ref, wmi_ref, wmr_lo_ref,
             wmi_lo_ref, frac_ref, phase_ref, gains_ref, out_ref, new_buf,
             hist_buf, hist_stage, z_scratch, sems, *, taps, taps_pad, tb,
-            nb, m, m1, m2, groups, quantized, stage2, w_scale):
+            nb, m, m1, m2, groups, dif_offs, quantized, stage2, w_scale):
     s = pl.program_id(0)
     b = pl.program_id(1)
 
@@ -254,10 +311,11 @@ def _kernel(x_hbm, w_ref, tw_ref, wmr_ref, wmi_ref, wmr_lo_ref,
     # ---------------- FFT: VPU radix stage-1 + MXU stage-2 ------------
     # sample n = n1 + m1*n2; X[k2 + m2*k1] = sum_n1 W_m1^(k1 n1) *
     #   tw[n1,k2] * Y[k2, n1], Y[k2] = sum_n2 fir[n1 + m1*n2] W_m2^(n2 k2).
-    # Stage 1 is the statically-unrolled radix-2 FFT over the m2
-    # lane-aligned slices; no reshapes/transposes ever touch Mosaic.
-    slices = [(fir[:, m1 * n2:m1 * (n2 + 1)], None) for n2 in range(m2)]
-    yy = _dft_tiles(slices)
+    # Stage 1 is an iterative DIF radix-2 FFT over contiguous lane
+    # blocks (full-width ops); outputs land in bit-reversed k2 order
+    # and no reshapes/transposes ever touch Mosaic.
+    yy = _dif_fft_blocks(fir, dif_ref, dif_offs, m1, m2)
+    bits = max(m2.bit_length() - 1, 0)
 
     # fine-delay + fringe phasor: phasor(k) = e^(-i p_t) * u^k2 * v^k1,
     # u = e^(-i a), v = u^m2, a = 2*pi*d_t/m.  Applied post-stage-2.
@@ -340,7 +398,8 @@ def _kernel(x_hbm, w_ref, tw_ref, wmr_ref, wmi_ref, wmr_lo_ref,
             if k2 == 0:
                 zr, zi = yy[0]       # tw row 0 is identity
             else:
-                zr, zi = _cmul_rt(yy[k2], tw_ref[0, k2], tw_ref[1, k2])
+                zr, zi = _cmul_rt(yy[_bitrev(k2, bits)],
+                                  tw_ref[0, k2], tw_ref[1, k2])
             z_scratch[j * tb:(j + 1) * tb, 0:m1] = \
                 zr if zr is not None else jnp.zeros((tb, m1), jnp.float32)
             z_scratch[j * tb:(j + 1) * tb, m1:2 * m1] = \
@@ -501,10 +560,11 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
         w_scale = 1.0
 
     w = jnp.asarray(window, jnp.float32).reshape(taps, 1, m)
+    dif_tbl, dif_offs = _dif_tables(m2, m1v)
     kernel = functools.partial(
         _kernel, taps=taps, taps_pad=taps_pad, tb=tb, nb=nb, m=m, m1=m1v,
-        m2=m2, groups=groups, quantized=quantized, stage2=stage2,
-        w_scale=w_scale)
+        m2=m2, groups=groups, dif_offs=tuple(dif_offs),
+        quantized=quantized, stage2=stage2, w_scale=w_scale)
     out_dtype = jnp.int8 if quantized else jnp.float32
     wm_shape = (2 * m1v, k1n)
     out = pl.pallas_call(
@@ -515,6 +575,8 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
             pl.BlockSpec((taps, 1, m), lambda s_, b_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, m2, m1v), lambda s_, b_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, m), lambda s_, b_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(wm_shape, lambda s_, b_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -543,8 +605,8 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(xr, w, jnp.asarray(tw), wmr, wmi, wmr_lo, wmi_lo, fd, ph,
-      g_tbl)
+    )(xr, w, jnp.asarray(tw), jnp.asarray(dif_tbl), wmr, wmi, wmr_lo,
+      wmi_lo, fd, ph, g_tbl)
     # decode: out[s, 2*k2+c, t, k1] -> spectra[s, t, k2 + m2*k1, c]
     re = out[:, 0::2]                    # (s, m2, B, k1n)
     im = out[:, 1::2]
