@@ -255,14 +255,15 @@ def _dif_fft_blocks(fir, dif_ref, offs, m1: int, m2: int):
 
 
 def _fft_tables(m: int, m1_pref: int = None):
-    """Twiddle rows + stage-2 DFT matrices.
+    """Twiddle rows + the stage-2 DFT matrix.
 
-    Returns (m1, m2, tw (2, m2, m1) np.float32, wmr/wmi (2*m1, m1//2)
-    np.float32) where wmr = [w1r^T ; -w1i^T], wmi = [w1i^T ; w1r^T] so
-    that with Zc = [Zr | Zi] (rows stacked over k2): Cr = Zc @ wmr,
-    Ci = Zc @ wmi.  NUMPY results only: this function may first run
-    inside a jit trace, and caching jnp arrays created there would cache
-    tracers.
+    Returns (m1, m2, tw (2, m2, m1) np.float32, wm (2*m1, m1)
+    np.float32) where wm = [wmr | wmi] with wmr = [w1r^T ; -w1i^T],
+    wmi = [w1i^T ; w1r^T], so that with Zc = [Zr | Zi] (rows stacked
+    over k2) ONE matmul yields both components: Zc @ wm = [Cr | Ci]
+    (N = m1 = 2*k1n keeps the MXU fully fed at m1=256).  NUMPY results
+    only: this function may first run inside a jit trace, and caching
+    jnp arrays created there would cache tracers.
     """
     m1, m2 = _factor(m, m1_pref)
     k1n = m1 // 2
@@ -270,13 +271,14 @@ def _fft_tables(m: int, m1_pref: int = None):
     w1 = np.exp(-2j * np.pi * np.outer(np.arange(m1), np.arange(k1n)) / m1)
     wmr = np.concatenate([w1.real, -w1.imag], axis=0)   # (2*m1, k1n)
     wmi = np.concatenate([w1.imag, w1.real], axis=0)
+    wm = np.concatenate([wmr, wmi], axis=1)             # (2*m1, 2*k1n)
     return (m1, m2,
             np.stack([tw.real, tw.imag]).astype(np.float32),
-            wmr.astype(np.float32), wmi.astype(np.float32))
+            wm.astype(np.float32))
 
 
-def _kernel(x_hbm, w_ref, tw_ref, dif_ref, wmr_ref, wmi_ref, wmr_lo_ref,
-            wmi_lo_ref, frac_ref, phase_ref, gains_ref, out_ref, new_buf,
+def _kernel(x_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
+            frac_ref, phase_ref, gains_ref, out_ref, new_buf,
             hist_buf, hist_stage, z_scratch, sems, *, taps, taps_pad, tb,
             nb, m, m1, m2, groups, dif_offs, quantized, stage2, w_scale,
             ablate):
@@ -349,12 +351,14 @@ def _kernel(x_hbm, w_ref, tw_ref, dif_ref, wmr_ref, wmi_ref, wmr_lo_ref,
     pi_ = jnp.sin(phi)
 
     def stage2_mm(z_stack):
+        # each mode emits ONE (rows, 2*k1n) matmul product [Cr | Ci]
+        # per pass — the concatenated wm doubles N vs separate cr/ci
+        # dots, keeping the MXU fully fed at m1=256
         if stage2 == "int16":
-            # both operands split to int8 hi/lo; 3 int8 MXU dots per
-            # component (the lo*lo term is below the noise floor).
-            # 14-bit split with radix 128: zh in [-127,127], zl in
-            # [-64,64] (a 256-radix split overflows int8 at the
-            # +/-32767 boundary)
+            # both operands split to int8 hi/lo; 3 int8 MXU dots (the
+            # lo*lo term is below the noise floor).  14-bit split with
+            # radix 128: zh in [-127,127], zl in [-64,64] (a 256-radix
+            # split overflows int8 at the +/-32767 boundary)
             zmax = jnp.max(jnp.abs(z_stack))
             zscale = jnp.maximum(zmax, 1e-30) / 16256.0
             z14 = jnp.round(z_stack / zscale)
@@ -368,15 +372,12 @@ def _kernel(x_hbm, w_ref, tw_ref, dif_ref, wmr_ref, wmi_ref, wmr_lo_ref,
                     a, b, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
 
-            def s2dot(wh_ref, wl_ref):
-                wh = wh_ref[...]
-                wl = wl_ref[...]
-                hi = idot(zh8, wh).astype(jnp.float32)
-                mid = (idot(zh8, wl) + idot(zl8, wh)).astype(jnp.float32)
-                return (hi * 16384.0 + mid * 128.0) * (zscale * w_scale)
-
-            return s2dot(wmr_ref, wmr_lo_ref), s2dot(wmi_ref, wmi_lo_ref)
-        if stage2 == "bf16x3":
+            wh = wm_ref[...]
+            wl = wm_lo_ref[...]
+            hi = idot(zh8, wh).astype(jnp.float32)
+            mid = (idot(zh8, wl) + idot(zl8, wh)).astype(jnp.float32)
+            c = (hi * 16384.0 + mid * 128.0) * (zscale * w_scale)
+        elif stage2 == "bf16x3":
             # hi/lo bfloat16 split of both operands, 3 bf16 MXU passes
             # with fp32 accumulation: ~16-bit effective mantissa at the
             # full bf16 MXU rate (fp32 HIGHEST costs 6 passes)
@@ -388,19 +389,15 @@ def _kernel(x_hbm, w_ref, tw_ref, dif_ref, wmr_ref, wmi_ref, wmr_lo_ref,
                     a, b, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
-            def s2dot(wh_ref, wl_ref):
-                wh = wh_ref[...]
-                wl = wl_ref[...]
-                return bdot(zh, wh) + (bdot(zh, wl) + bdot(zl, wh))
-
-            return s2dot(wmr_ref, wmr_lo_ref), s2dot(wmi_ref, wmi_lo_ref)
-        cr = jax.lax.dot_general(
-            z_stack, wmr_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_P)
-        ci = jax.lax.dot_general(
-            z_stack, wmi_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_P)
-        return cr, ci
+            wh = wm_ref[...]
+            wl = wm_lo_ref[...]
+            c = bdot(zh, wh) + (bdot(zh, wl) + bdot(zl, wh))
+        else:
+            c = jax.lax.dot_general(
+                z_stack, wm_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_P)
+        k1n_ = m1 // 2
+        return c[:, 0:k1n_], c[:, k1n_:2 * k1n_]
 
     mg = m2 // groups
     for gi in range(groups):
@@ -502,7 +499,7 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
     taps_pad = _round_up(taps, 8)
 
     try:
-        m1v, m2, tw, wmr, wmi = _fft_tables(m, m1)
+        m1v, m2, tw, wm = _fft_tables(m, m1)
     except ValueError:
         m1v = m2 = 0
     if tb is None or groups is None:
@@ -550,34 +547,25 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
         g_tbl = jnp.zeros((2, m2, k1n), jnp.float32)
 
     if stage2 == "int16":
-        # split the stage-2 DFT matrices into int8 hi/lo pairs
-        def split14(wm):
-            w14 = np.rint(wm * 16256.0)
-            wh = np.rint(w14 / 128.0)
-            wl = w14 - wh * 128.0
-            return (jnp.asarray(wh.astype(np.int8)),
-                    jnp.asarray(wl.astype(np.int8)))
-        wmr, wmr_lo = split14(wmr)
-        wmi, wmi_lo = split14(wmi)
+        # split the stage-2 DFT matrix into an int8 hi/lo pair
+        w14 = np.rint(wm * 16256.0)
+        wh14 = np.rint(w14 / 128.0)
+        wm_lo = jnp.asarray((w14 - wh14 * 128.0).astype(np.int8))
+        wm = jnp.asarray(wh14.astype(np.int8))
         w_scale = 1.0 / 16256.0
     elif stage2 == "bf16x3":
+        # pure-numpy hi/lo split: fengine_fused may run inside a jit
+        # trace, where round-tripping a jnp array through numpy would
+        # touch a tracer
         import ml_dtypes
-
-        def splitb(wm):
-            # pure-numpy hi/lo split: fengine_fused may run inside a jit
-            # trace, where round-tripping a jnp array through numpy
-            # would touch a tracer
-            wh = wm.astype(ml_dtypes.bfloat16)
-            wl = (wm - wh.astype(np.float32)).astype(ml_dtypes.bfloat16)
-            return jnp.asarray(wh), jnp.asarray(wl)
-        wmr, wmr_lo = splitb(wmr)
-        wmi, wmi_lo = splitb(wmi)
+        wh = wm.astype(ml_dtypes.bfloat16)
+        wm_lo = jnp.asarray(
+            (wm - wh.astype(np.float32)).astype(ml_dtypes.bfloat16))
+        wm = jnp.asarray(wh)
         w_scale = 1.0
     else:
-        wmr = jnp.asarray(wmr)
-        wmi = jnp.asarray(wmi)
-        zero_lo = jnp.zeros((2 * m1v, k1n), jnp.int8)
-        wmr_lo = wmi_lo = zero_lo
+        wm = jnp.asarray(wm)
+        wm_lo = jnp.zeros((2 * m1v, m1v), jnp.int8)
         w_scale = 1.0
 
     w = jnp.asarray(window, jnp.float32).reshape(taps, 1, m)
@@ -588,7 +576,7 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
         quantized=quantized, stage2=stage2, w_scale=w_scale,
         ablate=_ablate)
     out_dtype = jnp.int8 if quantized else jnp.float32
-    wm_shape = (2 * m1v, k1n)
+    wm_shape = (2 * m1v, m1v)
     out = pl.pallas_call(
         kernel,
         grid=(s, nb),
@@ -599,10 +587,6 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
             pl.BlockSpec((2, m2, m1v), lambda s_, b_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, m), lambda s_, b_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(wm_shape, lambda s_, b_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(wm_shape, lambda s_, b_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(wm_shape, lambda s_, b_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -627,8 +611,8 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(xr, w, jnp.asarray(tw), jnp.asarray(dif_tbl), wmr, wmi, wmr_lo,
-      wmi_lo, fd, ph, g_tbl)
+    )(xr, w, jnp.asarray(tw), jnp.asarray(dif_tbl), wm, wm_lo, fd, ph,
+      g_tbl)
     # decode: out[s, 2*k2+c, t, k1] -> spectra[s, t, k2 + m2*k1, c].
     # Axis 1 is (k2, c) nested and channel k = k2 + m2*k1 means (k1, k2)
     # nesting in the wire K axis, so ONE 5-D transpose does the whole
