@@ -46,7 +46,8 @@ def f_engine(x: jax.Array, window: jax.Array, taps: int, n_chans: int, *,
              phase: Optional[jax.Array] = None,
              gains: Optional[jax.Array] = None,
              impl: str = "auto",
-             stage2: Optional[str] = None) -> jax.Array:
+             stage2: Optional[str] = None,
+             layout: str = "wire") -> jax.Array:
     """Full F-engine on ``x: (..., t)`` int8/float real streams.
 
     Wire format (complex never crosses the jit boundary — see
@@ -82,8 +83,12 @@ def f_engine(x: jax.Array, window: jax.Array, taps: int, n_chans: int, *,
                 g = jnp.broadcast_to(g, (n_chans, 2))
             return fengine_fused(x, window, taps, n_chans, frac_delay=fd,
                                  phase=ph, gains=g, stage2=stage2,
+                                 layout=layout,
                                  interpret=(impl == "fused_interpret"))
         impl = "jnp"
+    if layout == "native":
+        raise ValueError("layout='native' needs the fused kernel path "
+                         "(impl='fused'/'auto' on TPU)")
     fir = ops.pfb_fir(x, window, taps, m, impl=impl)
     spec = ops.channelize(fir, n_chans)
     if frac_delay is not None or phase is not None:

@@ -35,7 +35,8 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
-__all__ = ["make_step", "history_len", "mode_for", "zero_vis_acc"]
+__all__ = ["make_step", "history_len", "mode_for", "zero_vis_acc",
+           "fx_channel_perm"]
 
 
 def history_len(cfg: ChainConfig, max_delay: int) -> int:
@@ -53,6 +54,42 @@ def history_len(cfg: ChainConfig, max_delay: int) -> int:
                              "host/ingest path (max_delay must be 0)")
         return cfg.time_shards * cfg.history_len
     return max_delay + cfg.history_len
+
+
+def _fused_capable(impl: str) -> bool:
+    if impl in ("fused", "fused_interpret"):
+        return True
+    if impl == "auto":
+        from dc_sand_tpu.ops._dispatch import _default_platform
+        return _default_platform() in ("tpu", "axon")
+    return False
+
+
+def fx_channel_perm(cfg: ChainConfig, impl: str, mesh=None):
+    """Channel permutation of the FX accumulator, or None.
+
+    When the fx step runs the fused F-engine it keeps the kernel's
+    NATIVE plane layout all the way into the X-engine (skipping the
+    wire-order decode transpose — a full HBM pass per chunk); the
+    accumulator's channel axis is then in native (k2-major) order and
+    dump-time consumers reorder with ``vis[..., perm, :]``.  Must agree
+    exactly with the condition ``make_step`` uses.
+    """
+    from dc_sand_tpu.ops.fengine_fused import (fused_native_ok,
+                                               native_factor,
+                                               native_channel_perm)
+    if mode_for(cfg) != "fx" or not cfg.apply_requant:
+        return None
+    if not _fused_capable(impl):
+        return None
+    if not fused_native_ok(cfg.n_chans, cfg.n_taps,
+                           cfg.spectra_per_chunk):
+        return None
+    if mesh is not None:
+        m2, _ = native_factor(cfg.n_chans)
+        if m2 % mesh.shape[FX_AXIS]:
+            return None
+    return native_channel_perm(cfg.n_chans)
 
 
 def zero_vis_acc(cfg: ChainConfig) -> jnp.ndarray:
@@ -97,6 +134,12 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
         return _make_sp_step(cfg, window, mesh=mesh, impl=impl,
                              donate=donate)
 
+    # the fused kernel's native plane layout rides all the way into the
+    # X-engine when available (see fx_channel_perm) — the corner-turn
+    # transpose absorbs the wire-order decode for free
+    native_fx = (mode == "fx"
+                 and fx_channel_perm(cfg, impl, mesh) is not None)
+
     def step(history, vis_acc, chunk, coarse, frac, phase, gains,
              weights, reset):
         buf = jnp.concatenate([history, chunk], axis=-1)
@@ -105,14 +148,13 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
         q = f_engine(delayed, window, taps, n_chans,
                      frac_delay=frac if cfg.apply_delay else None,
                      phase=phase if cfg.apply_delay else None,
-                     gains=gains if quantized else None, impl=impl)
+                     gains=gains if quantized else None, impl=impl,
+                     layout="native" if native_fx else "wire")
         new_history = buf[..., chunk.shape[-1]:]
         outputs = {}
         if mode == "fengine":
             outputs["spectra"] = q
         elif mode == "fx":
-            qk = jnp.moveaxis(corner_turn_all_to_all(q, FX_AXIS)
-                              if mesh is not None else q, 3, 0)
             # integration carries the full block matrix; extraction to
             # baselines happens once per dump in the runner (C8/C9 —
             # the per-chunk gather round-1 shipped contradicted
@@ -122,7 +164,21 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
             x_impl = {"jnp": "jnp",
                       "fused_interpret": "pallas_interpret"}.get(impl,
                                                                  "auto")
-            vis_acc = ops.xcorr_accumulate(base, qk, impl=x_impl)
+            if native_fx:
+                # q: (a, p, m2, 2, B, k1n); channel-shard by splitting
+                # the k2 plane axis, then ONE transpose builds the
+                # X-engine's stacked [Ar; Ai] operand per channel
+                qn = (jax.lax.all_to_all(q, FX_AXIS, split_axis=2,
+                                         concat_axis=0, tiled=True)
+                      if mesh is not None else q)
+                a_, p_, m2l, _, b_, k1n_ = qn.shape
+                a2 = qn.transpose(2, 5, 3, 0, 1, 4).reshape(
+                    m2l * k1n_, 2 * a_ * p_, b_)
+                vis_acc = ops.xcorr_accumulate_a2(base, a2, impl=x_impl)
+            else:
+                qk = jnp.moveaxis(corner_turn_all_to_all(q, FX_AXIS)
+                                  if mesh is not None else q, 3, 0)
+                vis_acc = ops.xcorr_accumulate(base, qk, impl=x_impl)
         else:  # beam
             coh = ops.beamform(q, weights)
             if mesh is not None:

@@ -66,7 +66,38 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fengine_fused"]
+__all__ = ["fengine_fused", "fused_native_ok", "native_factor",
+           "native_channel_perm"]
+
+
+def fused_native_ok(n_chans: int, taps: int, b_out: int) -> bool:
+    """True when the fused kernel tiles this shape, i.e. the
+    ``layout="native"`` fast path is available to pipeline builders."""
+    m = 2 * n_chans
+    try:
+        _, m2 = _factor(m)
+    except ValueError:
+        return False
+    taps_pad = _round_up(taps, 8)
+    tb, _g = _choose_tiling(m, m2, b_out, taps_pad)
+    return (tb != 0 and tb >= taps_pad and b_out % tb == 0
+            and m % 128 == 0 and taps >= 2)
+
+
+def native_factor(n_chans: int, m1: int = None):
+    """(m2, k1n) of the kernel's native plane layout for this size."""
+    m1v, m2 = _factor(2 * n_chans, m1)
+    return m2, m1v // 2
+
+
+def native_channel_perm(n_chans: int, m1: int = None) -> np.ndarray:
+    """``perm[k_natural]`` = index of channel k in the native (k2-major)
+    channel enumeration ``k~ = k2*k1n + k1`` (k = k2 + m2*k1).  Dump- or
+    display-time consumers reorder a native channel axis with
+    ``arr[..., perm]``."""
+    m2, k1n = native_factor(n_chans, m1)
+    k = np.arange(n_chans)
+    return (k % m2) * k1n + (k // m2)
 
 _P = jax.lax.Precision.HIGHEST
 
@@ -476,8 +507,8 @@ def _choose_tiling(m: int, m2: int, b_out: int, taps_pad: int):
 def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
                   frac_delay=None, phase=None, gains=None,
                   stage2: str = None, m1: int = None, tb: int = None,
-                  groups: int = None, interpret: bool = False,
-                  _ablate: str = None):
+                  groups: int = None, layout: str = "wire",
+                  interpret: bool = False, _ablate: str = None):
     """Fused F-engine.  ``x: (..., T)`` int8; returns ``(..., B, K, 2)``
     int8 (with ``gains``) or float32 (without).
 
@@ -485,6 +516,16 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
     when None).  ``gains``: ``(K, 2)`` float32 re/im.  ``m1``/``tb``/
     ``groups`` override the factorisation/tiling policy (bench sweeps).
     Falls back to the unfused ops for shapes the kernel does not tile.
+
+    ``layout="wire"`` (default) decodes to natural channel order
+    ``(..., B, K, 2)`` — a full HBM transpose pass (~25% of the 4k
+    dispatch) that only the human-facing spectra consumers need.
+    ``layout="native"`` returns the kernel's own plane order
+    ``(..., m2, 2, B, k1n)`` with channel ``k = k2 + m2*k1`` at
+    ``[..., k2, c, b, k1]`` — the FX path consumes this directly (its
+    corner-turn transpose absorbs the reorder for free); use
+    :func:`native_channel_perm` to map channel axes back to natural
+    order at dump cadence.
     """
     m = 2 * n_chans
     t_len = x.shape[-1]
@@ -512,8 +553,19 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
     if (tb == 0 or m % 128 or taps < 2 or m2 == 0 or m2 % groups
             or b_out % tb or tb < taps_pad):
         # fall back to the unfused path
-        return _fallback(x, window, taps, n_chans, frac_delay=frac_delay,
-                         phase=phase, gains=gains)
+        res = _fallback(x, window, taps, n_chans, frac_delay=frac_delay,
+                        phase=phase, gains=gains)
+        if layout == "native":
+            if m2 == 0:
+                raise ValueError(
+                    f"native layout unavailable for {n_chans} channels")
+            # wire (..., B, K=(k1,k2), c) -> native (..., m2, c, B, k1n)
+            k1n = m1v // 2
+            res = res.reshape(lead + (b_out, k1n, m2, 2))
+            nl = len(lead)
+            res = res.transpose(tuple(range(nl))
+                                + (nl + 2, nl + 3, nl, nl + 1))
+        return res
     nb = b_out // tb
     if stage2 is None:
         stage2 = _DEFAULT_STAGE2
@@ -619,6 +671,8 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
     # decode (the two-plane gather + stack form cost a second full HBM
     # pass — 1.4 ms of the 5.7 ms dispatch at the 4k bench shape).
     out5 = out.reshape(s, m2, 2, b_out, k1n)
+    if layout == "native":
+        return out5.reshape(lead + (m2, 2, b_out, k1n))
     res = out5.transpose(0, 3, 4, 1, 2).reshape(s, b_out, n_chans, 2)
     return res.reshape(lead + (b_out, n_chans, 2))
 

@@ -40,7 +40,7 @@ from dc_sand_tpu.golden.chain import baseline_pairs
 from dc_sand_tpu.ops._dispatch import resolve_impl
 
 __all__ = ["xcorr", "xcorr_full", "extract_baselines", "extract_vis",
-           "xcorr_accumulate", "acc_shape"]
+           "xcorr_accumulate", "xcorr_accumulate_a2", "acc_shape"]
 
 
 def xcorr_full(q: jax.Array) -> jax.Array:
@@ -143,10 +143,21 @@ def xcorr_accumulate(acc: jax.Array, q: jax.Array,
     ap = n_ants * n_pols
     a = q.reshape(k, ap, b, 2)
     a2 = jnp.concatenate([a[..., 0], a[..., 1]], axis=1)  # (k, 2ap, b)
+    return xcorr_accumulate_a2(acc, a2, impl=impl)
+
+
+def xcorr_accumulate_a2(acc: jax.Array, a2: jax.Array,
+                        impl: str = "auto") -> jax.Array:
+    """Same as :func:`xcorr_accumulate` on a prebuilt stacked operand
+    ``a2: (k, 2ap, b) int8`` ([Ar; Ai] rows) — the form the fused
+    F-engine's NATIVE layout produces in one transpose (the per-channel
+    ordering of ``k`` is the caller's business; extraction unpermutes at
+    dump cadence)."""
     impl = resolve_impl(impl)
+    _, tap, b = a2.shape
     # Pallas wants lane/sublane-tileable operands; small test shapes ride
     # the jnp path (same math, XLA batched matmul)
-    if impl.startswith("pallas") and 2 * ap % 8 == 0 and b % 128 == 0:
+    if impl.startswith("pallas") and tap % 8 == 0 and b % 128 == 0:
         return _xcorr_accumulate_pallas(
             acc, a2, interpret=(impl == "pallas_interpret"))
     full2 = jax.lax.dot_general(

@@ -86,16 +86,27 @@ class FXRunner:
         self._host_tail = (np.zeros((a, p, self.max_delay), np.int8)
                            if self.coarse_on_host and self.max_delay
                            else None)
-        from dc_sand_tpu.models.pipeline import zero_vis_acc
+        from dc_sand_tpu.models.pipeline import (zero_vis_acc,
+                                                 fx_channel_perm)
         self.vis_acc = zero_vis_acc(cfg)
         if self.mode == "fx":
             # dump-time baseline extraction (jitted once; n_ants/n_pols
             # are static) — the accumulator itself carries the full
-            # (k, 2ap, 2ap) block matrix between chunks
-            import functools as _ft
+            # (k, 2ap, 2ap) block matrix between chunks.  When the step
+            # keeps the fused kernel's native channel order, extraction
+            # also reorders channels back to natural (still only once
+            # per dump).
             from dc_sand_tpu import ops as _ops
-            self._extract = jax.jit(
-                _ft.partial(_ops.extract_vis, n_ants=a, n_pols=p))
+            perm = fx_channel_perm(cfg, impl, mesh)
+            if perm is None:
+                def _ex(acc):
+                    return _ops.extract_vis(acc, a, p)
+            else:
+                perm_j = jnp.asarray(perm)
+
+                def _ex(acc):
+                    return _ops.extract_vis(acc, a, p)[..., perm_j, :]
+            self._extract = jax.jit(_ex)
         # int32 CMAC headroom (ops/xcorr.py): |V| <= 2*127^2*n_spectra
         max_spectra = (2 ** 31 - 1) // (2 * 127 * 127)
         if self.mode == "fx" and cfg.n_spectra_per_acc > max_spectra:

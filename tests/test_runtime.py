@@ -206,6 +206,29 @@ class TestRunnerFX:
             vis = dump.vis[..., 0] + 1j * dump.vis[..., 1]
             assert snr_db(vis_g, vis) > 50
 
+    def test_fused_native_fx_path_matches_golden(self):
+        """The fused-kernel FX path keeps the kernel's native channel
+        order into the X-engine and unpermutes at dump extraction; the
+        dumps must still be golden-correct in NATURAL channel order."""
+        from dc_sand_tpu.models.pipeline import fx_channel_perm
+        cfg = _cfg(n_chans=512, n_taps=4, spectra_per_chunk=8,
+                   n_spectra_per_acc=16, n_ants=2)
+        assert fx_channel_perm(cfg, "fused_interpret") is not None
+        n_chunks = 2
+        dm = DelayModel.zeros(cfg.n_ants, cfg.n_pols, max_delay=8)
+        dm.d0 += 3.0
+        gains = np.full(cfg.n_chans, 0.05) + 0j
+        gains_ri = np.stack([gains.real, gains.imag], -1).astype(np.float32)
+        stream = _make_stream(cfg, n_chunks, seed=14)
+        w = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
+        runner = FXRunner(cfg, w, delay_model=dm, gains=gains_ri,
+                          impl="fused_interpret")
+        dumps, _ = runner.run(_source(stream, cfg), n_chunks)
+        spec_g = _golden_chain(cfg, stream, dm, gains, n_chunks)
+        vis_g = golden.xcorr(spec_g)
+        vis = dumps[0].vis[..., 0] + 1j * dumps[0].vis[..., 1]
+        assert snr_db(vis_g, vis) > 50
+
     def test_checkpoint_wrong_config_rejected(self, tmp_path):
         cfg = _cfg()
         w = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
