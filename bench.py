@@ -23,7 +23,7 @@ def main() -> None:
                                              REALTIME_FLOOR_PER_CHIP)
 
     res = bench_fengine(n_streams=16, n_spectra=512, n_chans=4096,
-                        taps=16, impl="auto", full_chain=True, iters=64)
+                        taps=16, impl="auto", full_chain=True, iters=192)
     res.save(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench", "results"))
     res1k = bench_fengine(n_streams=16, n_spectra=512, n_chans=1024,
