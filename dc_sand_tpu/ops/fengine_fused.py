@@ -308,7 +308,7 @@ def _fft_tables(m: int, m1_pref: int = None):
             wm.astype(np.float32))
 
 
-def _kernel(x_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
+def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
             frac_ref, phase_ref, gains_ref, out_ref, new_buf,
             hist_buf, hist_stage, z_scratch, sems, *, taps, taps_pad, tb,
             nb, m, m1, m2, groups, dif_offs, quantized, stage2, w_scale,
@@ -317,26 +317,55 @@ def _kernel(x_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
     b = pl.program_id(1)
 
     # ---------------- FIR (overlap-save, VMEM history) ----------------
+    # The aligned tiling consumes taps_pad + nb*tb frames but the stream
+    # only has n_frames = taps_pad + nb*tb - pad frames (pad =
+    # taps_pad - taps + 1 > 0), so the LAST tile's DMA sources from
+    # ``tail_hbm`` — a one-tile zero-padded copy of the stream's final
+    # frames built by the wrapper (~tb*m bytes per stream) — instead of
+    # the wrapper materialising a padded copy of the WHOLE input (a full
+    # extra HBM pass, ~0.5 ms of the 5.5 ms 4k-channel dispatch).  The
+    # pad frames are inert anyway: output spectrum i of tile b uses
+    # frames b*tb + i .. + taps - 1, so the top pad frames never feed an
+    # FMA (they are only shuffled by the rolls), and hist_buf's
+    # last-tile update is overwritten at the next stream's b == 0.
     def new_dma(tile_idx, slot):
         return pltpu.make_async_copy(
             x_hbm.at[s, pl.ds(taps_pad + tile_idx * tb, tb)],
             new_buf.at[slot], sems.at[slot])
+
+    def tail_dma(slot):
+        return pltpu.make_async_copy(
+            tail_hbm.at[s], new_buf.at[slot], sems.at[slot])
 
     @pl.when(b == 0)
     def _():
         hist_dma = pltpu.make_async_copy(
             x_hbm.at[s, pl.ds(0, taps_pad)], hist_stage, sems.at[2])
         hist_dma.start()
-        new_dma(0, 0).start()
+        (tail_dma(0) if nb == 1 else new_dma(0, 0)).start()
         hist_dma.wait()
         hist_buf[...] = hist_stage[...].astype(jnp.float32)
 
-    @pl.when(b + 1 < nb)
-    def _():
-        new_dma(b + 1, (b + 1) % 2).start()
+    if nb > 1:
+        @pl.when(b + 1 < nb - 1)
+        def _():
+            new_dma(b + 1, (b + 1) % 2).start()
+
+        @pl.when(b == nb - 2)
+        def _():
+            tail_dma((nb - 1) % 2).start()
 
     slot = b % 2
-    new_dma(b, slot).wait()
+    if nb > 1:
+        @pl.when(b < nb - 1)
+        def _():
+            new_dma(b, slot).wait()
+
+        @pl.when(b == nb - 1)
+        def _():
+            tail_dma(slot).wait()
+    else:
+        tail_dma(slot).wait()
 
     new_f32 = new_buf[slot].astype(jnp.float32)
     if ablate == "no_fir":          # perf-ablation probe only
@@ -586,12 +615,17 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
     assert m2 * k1n == n_chans
 
     xr = x.reshape(s, n_frames, m)
-    # one zero pad frame: the aligned DMA tiling reads taps_pad-taps+1
-    # frames past the stream end (never used in outputs)
+    # the aligned DMA tiling reads taps_pad-taps+1 frames past the
+    # stream end; the kernel's final tile instead DMAs from this small
+    # zero-padded tail tile (one tile per stream, vs a padded copy of
+    # the WHOLE input — Mosaic requires 8-aligned DMA row counts, so the
+    # tail DMA cannot simply be shortened)
     pad = taps_pad + nb * tb - n_frames
+    assert 0 <= pad < tb
+    tail = xr[:, taps_pad + (nb - 1) * tb:, :]
     if pad > 0:
-        xr = jnp.concatenate(
-            [xr, jnp.zeros((s, pad, m), xr.dtype)], axis=1)
+        tail = jnp.concatenate(
+            [tail, jnp.zeros((s, pad, m), xr.dtype)], axis=1)
 
     # (S, nb, 1, tb): trailing block dims equal the array dims, which
     # is the only legal way to hand a per-(stream, tile) vector to the
@@ -647,6 +681,7 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
         grid=(s, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((taps, 1, m), lambda s_, b_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, m2, m1v), lambda s_, b_: (0, 0, 0),
@@ -676,8 +711,8 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(xr, w, jnp.asarray(tw), jnp.asarray(dif_tbl), wm, wm_lo, fd, ph,
-      g_tbl)
+    )(xr, tail, w, jnp.asarray(tw), jnp.asarray(dif_tbl), wm, wm_lo, fd,
+      ph, g_tbl)
     # decode: out[s, 2*k2+c, t, k1] -> spectra[s, t, k2 + m2*k1, c].
     # Axis 1 is (k2, c) nested and channel k = k2 + m2*k1 means (k1, k2)
     # nesting in the wire K axis, so ONE 5-D transpose does the whole
