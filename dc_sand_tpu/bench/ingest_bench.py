@@ -48,7 +48,13 @@ def _make_bursts(a, p, c_samp, n_chunks, packet_samples, seed=0):
         base = i * c_samp
         payload = np.ascontiguousarray(
             data[..., base:base + c_samp]).tobytes()
-        bursts.append((ants, pols, offs + np.uint64(base), payload))
+        # timestamps stay RELATIVE; the driver adds the global chunk
+        # base so warm + timed passes form one monotonic stream (a
+        # rewound timestamp is a LATE packet the assembler rightly
+        # drops — an earlier version of this bench timed exactly that:
+        # every timed-pass packet dropped at the window check, no
+        # placement memcpy at all, ~40% over the real rate)
+        bursts.append((ants, pols, offs, payload))
     return data, bursts
 
 
@@ -94,7 +100,9 @@ def bench_ingest_host(n_ants: int = 64, n_pols: int = 2,
         host_tail = np.zeros((aw, p, max_delay), np.int8)
         for i in timed_chunks:
             ants, pols, tss, payload = bursts[i % n_chunks]
-            ing.submit_burst(ants, pols, tss, payload, packet_samples)
+            ing.submit_burst(ants, pols,
+                             tss + np.uint64(i * c_samp), payload,
+                             packet_samples)
             chunk, _fill = ing.retire(force=True)
             if not delay_in_ingest:
                 # the runner's vectorised host gather (runner.py)
@@ -107,15 +115,18 @@ def bench_ingest_host(n_ants: int = 64, n_pols: int = 2,
                     np.take_along_axis(win, sel, axis=2)[..., 0, :])
                 host_tail = buf[..., -max_delay:]
 
-    # warm: one pass over every ring slot (page first-touch)
+    # warm: one pass over every ring slot (page first-touch); the timed
+    # pass continues the SAME timestamp stream so nothing is late
+    n_warm = min(4, n_chunks)
     for w in range(n_workers):
-        drive(w, range(min(4, n_chunks)))
+        drive(w, range(n_warm))
 
+    timed = range(n_warm, n_warm + n_chunks)
     t0 = time.perf_counter()
     if n_workers == 1:
-        drive(0, range(n_chunks))
+        drive(0, timed)
     else:
-        ts = [threading.Thread(target=drive, args=(w, range(n_chunks)))
+        ts = [threading.Thread(target=drive, args=(w, timed))
               for w in range(n_workers)]
         for t in ts:
             t.start()
@@ -124,6 +135,11 @@ def bench_ingest_host(n_ants: int = 64, n_pols: int = 2,
     wall = time.perf_counter() - t0
     samples = a * p * c_samp * n_chunks
     rate = samples / wall
+    stats = workers[0][0].stats()
+    if stats.get("packets_late"):
+        raise RuntimeError(
+            f"ingest bench submitted late packets ({stats}); the "
+            "measured rate would not include placement cost")
     name = f"ingest_host_{'placed' if delay_in_ingest else 'gather'}"
     if n_workers > 1:
         name += f"_{n_workers}w"
@@ -136,7 +152,7 @@ def bench_ingest_host(n_ants: int = 64, n_pols: int = 2,
                "delay_in_ingest": delay_in_ingest,
                "n_workers": n_workers, "n_chunks": n_chunks,
                "vs_realtime_floor": rate / REALTIME_FLOOR_PER_CHIP,
-               "stats": workers[0][0].stats()},
+               "stats": stats},
     ).finish()
 
 
@@ -173,7 +189,8 @@ def bench_ingest_runner(n_ants: int = 16, n_pols: int = 2,
 
     def source(i):
         ants, pols, tss, payload = bursts[i % n_chunks]
-        ing.submit_burst(ants, pols, tss, payload, packet_samples)
+        ing.submit_burst(ants, pols, tss + np.uint64(i * c_samp),
+                         payload, packet_samples)
         return ing.retire(force=True)[0]
 
     runner.run(source, 1)          # warm the compiled step

@@ -41,6 +41,7 @@ def coarse_delay(x: jax.Array, delays: jax.Array, max_delay: int) -> jax.Array:
 
 
 def f_engine(x: jax.Array, window: jax.Array, taps: int, n_chans: int, *,
+             history: Optional[jax.Array] = None,
              coarse_delays: Optional[jax.Array] = None, max_delay: int = 0,
              frac_delay: Optional[jax.Array] = None,
              phase: Optional[jax.Array] = None,
@@ -50,6 +51,13 @@ def f_engine(x: jax.Array, window: jax.Array, taps: int, n_chans: int, *,
              layout: str = "wire") -> jax.Array:
     """Full F-engine on ``x: (..., t)`` int8/float real streams.
 
+    ``history`` (streaming split-I/O fast path): ``x`` is the new chunk
+    as FRAMES ``(..., B, M)`` and ``history`` the carried overlap-save
+    tail ``(..., taps_pad, M)``; the fused kernel reads them as separate
+    HBM refs — no [history|chunk] concat and no chunk relayout on the
+    hot path (see ops/fengine_fused.py).  Requires ``coarse_delays``
+    to be None (coarse delay rides the host/ingest feed in this mode).
+
     Wire format (complex never crosses the jit boundary — see
     :mod:`dc_sand_tpu.utils.cplx`): returns float32 ``(..., b, k, 2)``
     spectra when ``gains`` is None (config 1, BASELINE.json:7), else int8
@@ -57,6 +65,9 @@ def f_engine(x: jax.Array, window: jax.Array, taps: int, n_chans: int, *,
     is float32 ``(..., k, 2)`` complex-as-ri.
     """
     m = 2 * n_chans
+    if history is not None and coarse_delays is not None:
+        raise ValueError("split-I/O mode keeps coarse delay on the "
+                         "host/ingest path (coarse_delays must be None)")
     if coarse_delays is not None:
         x = coarse_delay(x, coarse_delays, max_delay)
     if impl in ("fused", "fused_interpret", "auto"):
@@ -69,8 +80,12 @@ def f_engine(x: jax.Array, window: jax.Array, taps: int, n_chans: int, *,
         from dc_sand_tpu.ops._dispatch import _default_platform
         if impl != "auto" or _default_platform() in ("tpu", "axon"):
             from dc_sand_tpu.ops.fengine_fused import fengine_fused
-            b_out = x.shape[-1] // m - (taps - 1)
-            lead = x.shape[:-1]
+            if history is not None:
+                b_out = x.shape[-2]
+                lead = x.shape[:-2]
+            else:
+                b_out = x.shape[-1] // m - (taps - 1)
+                lead = x.shape[:-1]
             fd = None if frac_delay is None else jnp.broadcast_to(
                 jnp.asarray(frac_delay, jnp.float32), lead + (b_out,))
             ph = None if phase is None else jnp.broadcast_to(
@@ -81,11 +96,19 @@ def f_engine(x: jax.Array, window: jax.Array, taps: int, n_chans: int, *,
                 if jnp.iscomplexobj(g):
                     g = c2ri(g)
                 g = jnp.broadcast_to(g, (n_chans, 2))
-            return fengine_fused(x, window, taps, n_chans, frac_delay=fd,
+            return fengine_fused(x, window, taps, n_chans,
+                                 history=history, frac_delay=fd,
                                  phase=ph, gains=g, stage2=stage2,
                                  layout=layout,
                                  interpret=(impl == "fused_interpret"))
         impl = "jnp"
+    if history is not None:
+        # non-fused path: rebuild the concatenated stream (correctness
+        # fallback only — split I/O is a fused-kernel convention)
+        from dc_sand_tpu.ops.fengine_fused import _round_up
+        pad0 = _round_up(taps, 8) - taps + 1
+        x = jnp.concatenate([history[..., pad0:, :], x], axis=-2)
+        x = x.reshape(x.shape[:-2] + (-1,))
     if layout == "native":
         raise ValueError("layout='native' needs the fused kernel path "
                          "(impl='fused'/'auto' on TPU)")

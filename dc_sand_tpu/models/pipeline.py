@@ -36,7 +36,8 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
 __all__ = ["make_step", "history_len", "mode_for", "zero_vis_acc",
-           "fx_channel_perm"]
+           "fx_channel_perm", "uses_frames_io", "history_shape",
+           "chunk_shape"]
 
 
 def history_len(cfg: ChainConfig, max_delay: int) -> int:
@@ -63,6 +64,56 @@ def _fused_capable(impl: str) -> bool:
         from dc_sand_tpu.ops._dispatch import _default_platform
         return _default_platform() in ("tpu", "axon")
     return False
+
+
+def uses_frames_io(cfg: ChainConfig, impl: str = "auto",
+                   max_delay: int = 0,
+                   coarse_on_host: bool = True) -> bool:
+    """True when :func:`make_step` takes its streaming I/O in FRAME form
+    (split-I/O fast path): ``history (A*P, taps_pad, M)`` and ``chunk
+    (A*P, B, M)`` int8 instead of sample-axis ``(A, P, T)``.
+
+    Frames I/O feeds the fused kernel's history and chunk as separate
+    HBM refs, eliminating the per-chunk [history|chunk] concat and the
+    (A, P, T)->(S, nf, M) parameter relayout — both full HBM passes.
+    Available whenever the fused kernel tiles the shape, coarse delay
+    rides the host/ingest feed (``max_delay == 0``), and the chunk holds
+    at least ``taps_pad`` spectra (the carried tail must come from the
+    current chunk alone).  Callers build matching buffers with
+    :func:`history_shape` / :func:`chunk_shape` (a host-side
+    ``np.reshape`` — the ingest ring's (A, P, T) layout IS (A*P, B, M)
+    row-major, so the feed path cost is zero).
+    """
+    from dc_sand_tpu.ops.fengine_fused import fused_native_ok
+    taps_pad = _round_up8(cfg.n_taps)
+    return (cfg.time_shards == 1
+            and max_delay == 0
+            and (coarse_on_host or not cfg.apply_delay)
+            and _fused_capable(impl)
+            and fused_native_ok(cfg.n_chans, cfg.n_taps,
+                                cfg.spectra_per_chunk)
+            and cfg.spectra_per_chunk >= taps_pad)
+
+
+def _round_up8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def history_shape(cfg: ChainConfig, max_delay: int = 0,
+                  frames_io: bool = False):
+    """Shape of the carried history for ``make_step``'s convention."""
+    if frames_io:
+        return (cfg.n_ants * cfg.n_pols, _round_up8(cfg.n_taps),
+                2 * cfg.n_chans)
+    return (cfg.n_ants, cfg.n_pols, history_len(cfg, max_delay))
+
+
+def chunk_shape(cfg: ChainConfig, frames_io: bool = False):
+    """Shape a source chunk must have for ``make_step``'s convention."""
+    if frames_io:
+        return (cfg.n_ants * cfg.n_pols, cfg.spectra_per_chunk,
+                2 * cfg.n_chans)
+    return (cfg.n_ants, cfg.n_pols, cfg.chunk_samples)
 
 
 def fx_channel_perm(cfg: ChainConfig, impl: str, mesh=None):
@@ -139,18 +190,38 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
     # transpose absorbs the wire-order decode for free
     native_fx = (mode == "fx"
                  and fx_channel_perm(cfg, impl, mesh) is not None)
+    # frames I/O: history/chunk cross the jit boundary in FRAME form and
+    # reach the fused kernel as separate HBM refs (no concat/relayout)
+    frames_io = uses_frames_io(cfg, impl, max_delay, coarse_on_host)
 
     def step(history, vis_acc, chunk, coarse, frac, phase, gains,
              weights, reset):
-        buf = jnp.concatenate([history, chunk], axis=-1)
-        delayed = coarse_delay(buf, coarse, max_delay) if device_coarse \
-            else (buf if max_delay == 0 else buf[..., max_delay:])
-        q = f_engine(delayed, window, taps, n_chans,
-                     frac_delay=frac if cfg.apply_delay else None,
-                     phase=phase if cfg.apply_delay else None,
-                     gains=gains if quantized else None, impl=impl,
-                     layout="native" if native_fx else "wire")
-        new_history = buf[..., chunk.shape[-1]:]
+        if frames_io:
+            s_l = chunk.shape[0]
+            b_l = chunk.shape[1]
+            q = f_engine(
+                chunk, window, taps, n_chans, history=history,
+                frac_delay=(frac.reshape(s_l, b_l)
+                            if cfg.apply_delay else None),
+                phase=(phase.reshape(s_l, b_l)
+                       if cfg.apply_delay else None),
+                gains=gains if quantized else None, impl=impl,
+                layout="native" if native_fx else "wire")
+            # back to (a, p, ...) leading dims for the shared fx/beam
+            # tail below (a free leading-axis split)
+            q = q.reshape(coarse.shape + q.shape[1:])
+            new_history = chunk[:, b_l - history.shape[1]:, :]
+        else:
+            buf = jnp.concatenate([history, chunk], axis=-1)
+            delayed = coarse_delay(buf, coarse, max_delay) \
+                if device_coarse \
+                else (buf if max_delay == 0 else buf[..., max_delay:])
+            q = f_engine(delayed, window, taps, n_chans,
+                         frac_delay=frac if cfg.apply_delay else None,
+                         phase=phase if cfg.apply_delay else None,
+                         gains=gains if quantized else None, impl=impl,
+                         layout="native" if native_fx else "wire")
+            new_history = buf[..., chunk.shape[-1]:]
         outputs = {}
         if mode == "fengine":
             outputs["spectra"] = q
@@ -159,23 +230,23 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
             # baselines happens once per dump in the runner (C8/C9 —
             # the per-chunk gather round-1 shipped contradicted
             # ops/xcorr.py's own amortisation docstring)
-            base = jax.lax.cond(reset, jnp.zeros_like, lambda a: a,
-                                vis_acc)
             x_impl = {"jnp": "jnp",
                       "fused_interpret": "pallas_interpret"}.get(impl,
                                                                  "auto")
             if native_fx:
                 # q: (a, p, m2, 2, B, k1n); channel-shard by splitting
-                # the k2 plane axis, then ONE transpose builds the
-                # X-engine's stacked [Ar; Ai] operand per channel
+                # the k2 plane axis, then the X-engine consumes the
+                # native layout directly (the Pallas kernel relayouts
+                # on the MXU in VMEM and applies the integration-window
+                # reset in place; the jnp fallback transposes)
                 qn = (jax.lax.all_to_all(q, FX_AXIS, split_axis=2,
                                          concat_axis=0, tiled=True)
                       if mesh is not None else q)
-                a_, p_, m2l, _, b_, k1n_ = qn.shape
-                a2 = qn.transpose(2, 5, 3, 0, 1, 4).reshape(
-                    m2l * k1n_, 2 * a_ * p_, b_)
-                vis_acc = ops.xcorr_accumulate_a2(base, a2, impl=x_impl)
+                vis_acc = ops.xcorr_accumulate_native(
+                    vis_acc, qn, reset=reset, impl=x_impl)
             else:
+                base = jax.lax.cond(reset, jnp.zeros_like, lambda a: a,
+                                    vis_acc)
                 qk = jnp.moveaxis(corner_turn_all_to_all(q, FX_AXIS)
                                   if mesh is not None else q, 3, 0)
                 vis_acc = ops.xcorr_accumulate(base, qk, impl=x_impl)

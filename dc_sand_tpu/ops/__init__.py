@@ -16,6 +16,7 @@ from .fft import channelize  # noqa: F401
 from .phase import fine_delay_fringe  # noqa: F401
 from .quant import requantize, dequantize  # noqa: F401
 from .xcorr import (xcorr, xcorr_accumulate,  # noqa: F401
-                    xcorr_accumulate_a2, extract_vis, acc_shape)
+                    xcorr_accumulate_a2, xcorr_accumulate_native,
+                    extract_vis, acc_shape)
 from .beamform import beamform, incoherent_sum  # noqa: F401
 from .stokes import stokes  # noqa: F401

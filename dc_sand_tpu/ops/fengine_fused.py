@@ -312,60 +312,120 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
             frac_ref, phase_ref, gains_ref, out_ref, new_buf,
             hist_buf, hist_stage, z_scratch, sems, *, taps, taps_pad, tb,
             nb, m, m1, m2, groups, dif_offs, quantized, stage2, w_scale,
-            ablate):
+            ablate, pad0=0):
     s = pl.program_id(0)
     b = pl.program_id(1)
 
     # ---------------- FIR (overlap-save, VMEM history) ----------------
-    # The aligned tiling consumes taps_pad + nb*tb frames but the stream
-    # only has n_frames = taps_pad + nb*tb - pad frames (pad =
-    # taps_pad - taps + 1 > 0), so the LAST tile's DMA sources from
-    # ``tail_hbm`` — a one-tile zero-padded copy of the stream's final
-    # frames built by the wrapper (~tb*m bytes per stream) — instead of
-    # the wrapper materialising a padded copy of the WHOLE input (a full
-    # extra HBM pass, ~0.5 ms of the 5.5 ms 4k-channel dispatch).  The
-    # pad frames are inert anyway: output spectrum i of tile b uses
-    # frames b*tb + i .. + taps - 1, so the top pad frames never feed an
-    # FMA (they are only shuffled by the rolls), and hist_buf's
-    # last-tile update is overwritten at the next stream's b == 0.
-    def new_dma(tile_idx, slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[s, pl.ds(taps_pad + tile_idx * tb, tb)],
-            new_buf.at[slot], sems.at[slot])
+    # Two input conventions (static choice):
+    #
+    # ``pad0 == 0`` (concatenated): ``x_hbm`` holds history + stream in
+    # one array.  The aligned tiling consumes taps_pad + nb*tb frames
+    # but the stream only has n_frames = taps_pad + nb*tb - pad frames
+    # (pad = taps_pad - taps + 1, 0 < pad <= 8), so the LAST tile splits
+    # its DMA: the first tb-8 frames come straight from the stream and
+    # the final 8-row group from ``tail_hbm`` — an 8-frame zero-padded
+    # copy of the stream's last 8-pad frames built by the wrapper.  That
+    # keeps every DMA row count 8-aligned (Mosaic's rule) at a wrapper
+    # cost of 8 frames per stream, instead of a padded copy of the
+    # WHOLE input (a full extra HBM pass, ~0.5 ms of the 4k dispatch).
+    # The pad frames are inert: output spectrum i of tile b uses frames
+    # b*tb + i .. + taps - 1, so the top pad frames never feed an FMA
+    # (they are only shuffled by the rolls), and hist_buf's last-tile
+    # update is overwritten at the next stream's b == 0.
+    #
+    # ``pad0 == taps_pad - taps + 1 > 0`` (split): ``x_hbm`` is the
+    # carried history (s, taps_pad, m) — the previous stream's LAST
+    # taps_pad frames (first pad0 of them dead) — and ``tail_hbm`` is
+    # the new chunk (s, nb*tb, m).  Output j then uses stream frames
+    # j + pad0 .. j + pad0 + taps - 1, every DMA is naturally 8-aligned
+    # (no tail machinery), and — the point — the streaming step passes
+    # its carry and chunk STRAIGHT through as separate refs: no
+    # [history | chunk] concat and no (A, P, T)->(S, nf, m) relayout,
+    # which together cost ~7 ms of the 28 ms 64-ant 4k FX step.
+    split = pad0 > 0
+    chunk_hbm = tail_hbm          # split-mode naming
 
-    def tail_dma(slot):
-        return pltpu.make_async_copy(
-            tail_hbm.at[s], new_buf.at[slot], sems.at[slot])
+    if split:
+        def new_dma(tile_idx, slot):
+            return pltpu.make_async_copy(
+                chunk_hbm.at[s, pl.ds(tile_idx * tb, tb)],
+                new_buf.at[slot], sems.at[slot])
 
-    @pl.when(b == 0)
-    def _():
-        hist_dma = pltpu.make_async_copy(
-            x_hbm.at[s, pl.ds(0, taps_pad)], hist_stage, sems.at[2])
-        hist_dma.start()
-        (tail_dma(0) if nb == 1 else new_dma(0, 0)).start()
-        hist_dma.wait()
-        hist_buf[...] = hist_stage[...].astype(jnp.float32)
-
-    if nb > 1:
-        @pl.when(b + 1 < nb - 1)
+        @pl.when(b == 0)
         def _():
-            new_dma(b + 1, (b + 1) % 2).start()
+            hist_dma = pltpu.make_async_copy(
+                x_hbm.at[s], hist_stage, sems.at[3])
+            hist_dma.start()
+            new_dma(0, 0).start()
+            hist_dma.wait()
+            hist_buf[...] = hist_stage[...].astype(jnp.float32)
 
-        @pl.when(b == nb - 2)
-        def _():
-            tail_dma((nb - 1) % 2).start()
+        if nb > 1:
+            @pl.when(b + 1 < nb)
+            def _():
+                new_dma(b + 1, (b + 1) % 2).start()
 
-    slot = b % 2
-    if nb > 1:
-        @pl.when(b < nb - 1)
-        def _():
-            new_dma(b, slot).wait()
-
-        @pl.when(b == nb - 1)
-        def _():
-            tail_dma(slot).wait()
+        slot = b % 2
+        new_dma(b, slot).wait()
     else:
-        tail_dma(slot).wait()
+        def new_dma(tile_idx, slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[s, pl.ds(taps_pad + tile_idx * tb, tb)],
+                new_buf.at[slot], sems.at[slot])
+
+        def last_bulk_dma(slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[s, pl.ds(taps_pad + (nb - 1) * tb, tb - 8)],
+                new_buf.at[slot, pl.ds(0, tb - 8)], sems.at[slot])
+
+        def tail_dma(slot):
+            return pltpu.make_async_copy(
+                tail_hbm.at[s], new_buf.at[slot, pl.ds(tb - 8, 8)],
+                sems.at[2])
+
+        def start_last(slot):
+            if tb > 8:
+                last_bulk_dma(slot).start()
+            tail_dma(slot).start()
+
+        def wait_last(slot):
+            if tb > 8:
+                last_bulk_dma(slot).wait()
+            tail_dma(slot).wait()
+
+        @pl.when(b == 0)
+        def _():
+            hist_dma = pltpu.make_async_copy(
+                x_hbm.at[s, pl.ds(0, taps_pad)], hist_stage, sems.at[3])
+            hist_dma.start()
+            if nb == 1:
+                start_last(0)
+            else:
+                new_dma(0, 0).start()
+            hist_dma.wait()
+            hist_buf[...] = hist_stage[...].astype(jnp.float32)
+
+        if nb > 1:
+            @pl.when(b + 1 < nb - 1)
+            def _():
+                new_dma(b + 1, (b + 1) % 2).start()
+
+            @pl.when(b == nb - 2)
+            def _():
+                start_last((nb - 1) % 2)
+
+        slot = b % 2
+        if nb > 1:
+            @pl.when(b < nb - 1)
+            def _():
+                new_dma(b, slot).wait()
+
+            @pl.when(b == nb - 1)
+            def _():
+                wait_last(slot)
+        else:
+            wait_last(slot)
 
     new_f32 = new_buf[slot].astype(jnp.float32)
     if ablate == "no_fir":          # perf-ablation probe only
@@ -373,16 +433,21 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
     else:
         buf = jnp.concatenate([hist_buf[...], new_f32], axis=0)
         rows = taps_pad + tb
-        # taps grouped by t mod 8: one roll serves every tap of its
-        # residue class through 8-aligned sublane slices — 7 rolls
-        # instead of taps-1 (the rolls measured ~2x the FIR FMAs'
-        # cost), and only one rolled copy is live at a time
+        # taps grouped by (pad0 + t) mod 8: one roll serves every tap of
+        # its residue class through 8-aligned sublane slices — <= 7
+        # rolls instead of taps-1 (the rolls measured ~2x the FIR FMAs'
+        # cost), and only one rolled copy is live at a time.  Output j
+        # reads buf[j + pad0 + t] (pad0 = 0 concatenated mode).
         fir = None
-        for r in range(min(8, taps)):
+        residues = sorted({(pad0 + t) % 8 for t in range(taps)})
+        for r in residues:
             rolled = buf if r == 0 else pltpu.roll(buf, rows - r,
                                                    axis=0)
-            for t in range(r, taps, 8):
-                q = t - r
+            for t in range(taps):
+                off = pad0 + t
+                if off % 8 != r:
+                    continue
+                q = off - r
                 term = w_ref[t, 0] * rolled[q:q + tb]
                 fir = term if fir is None else fir + term
     hist_buf[...] = new_f32[tb - taps_pad:tb]
@@ -547,12 +612,23 @@ def _choose_tiling(m: int, m2: int, b_out: int, taps_pad: int):
 
 
 def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
+                  history: jax.Array = None,
                   frac_delay=None, phase=None, gains=None,
                   stage2: str = None, m1: int = None, tb: int = None,
                   groups: int = None, layout: str = "wire",
                   interpret: bool = False, _ablate: str = None):
     """Fused F-engine.  ``x: (..., T)`` int8; returns ``(..., B, K, 2)``
     int8 (with ``gains``) or float32 (without).
+
+    ``history`` (split-I/O mode, the streaming fast path): ``x`` is the
+    NEW chunk as frames ``(..., B, M)`` and ``history`` the carried
+    overlap-save tail ``(..., taps_pad, M)`` — the previous stream's
+    last ``taps_pad = roundup(taps, 8)`` frames, of which only the last
+    ``taps-1`` are read.  The two arrays go to the kernel as separate
+    HBM refs, so the streaming step never concatenates [history|chunk]
+    and never relayouts the chunk parameter — both are full HBM passes
+    (~7 ms of the 64-ant 4k FX step) that exist only to build the
+    concatenated view this kernel used to want.
 
     ``frac_delay``/``phase``: ``(..., B)`` float32 per spectrum (zeros
     when None).  ``gains``: ``(K, 2)`` float32 re/im.  ``m1``/``tb``/
@@ -570,6 +646,13 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
     order at dump cadence.
     """
     m = 2 * n_chans
+    taps_pad = _round_up(taps, 8)
+    if history is not None:
+        return _fused_split(x, history, window, taps, n_chans,
+                            frac_delay=frac_delay, phase=phase,
+                            gains=gains, stage2=stage2, m1=m1, tb=tb,
+                            groups=groups, layout=layout,
+                            interpret=interpret, _ablate=_ablate)
     t_len = x.shape[-1]
     if t_len % m:
         raise ValueError(f"input length {t_len} not a multiple of M={m}")
@@ -579,7 +662,6 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
     if b_out <= 0:
         raise ValueError("input shorter than the FIR window")
     s = int(np.prod(lead)) if lead else 1
-    taps_pad = _round_up(taps, 8)
 
     try:
         m1v, m2, tw, wm = _fft_tables(m, m1)
@@ -616,17 +698,89 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
 
     xr = x.reshape(s, n_frames, m)
     # the aligned DMA tiling reads taps_pad-taps+1 frames past the
-    # stream end; the kernel's final tile instead DMAs from this small
-    # zero-padded tail tile (one tile per stream, vs a padded copy of
-    # the WHOLE input — Mosaic requires 8-aligned DMA row counts, so the
-    # tail DMA cannot simply be shortened)
+    # stream end; the kernel's final tile fetches its last 8-row group
+    # from this small zero-padded tail (8 frames per stream, vs a
+    # padded copy of the WHOLE input — Mosaic requires 8-aligned DMA
+    # row counts, so the tail DMA cannot simply be shortened)
     pad = taps_pad + nb * tb - n_frames
-    assert 0 <= pad < tb
-    tail = xr[:, taps_pad + (nb - 1) * tb:, :]
-    if pad > 0:
-        tail = jnp.concatenate(
-            [tail, jnp.zeros((s, pad, m), xr.dtype)], axis=1)
+    assert 0 < pad <= 8
+    zpad = jnp.zeros((s, pad, m), xr.dtype)
+    tail = (zpad if pad == 8 else jnp.concatenate(
+        [xr[:, n_frames - (8 - pad):, :], zpad], axis=1))
 
+    return _launch_fused(
+        xr, tail, window, s=s, lead=lead, b_out=b_out, nb=nb, tb=tb,
+        groups=groups, taps=taps, taps_pad=taps_pad, m=m, m1v=m1v,
+        m2=m2, tw=tw, wm=wm, frac_delay=frac_delay, phase=phase,
+        gains=gains, stage2=stage2, pad0=0, layout=layout,
+        n_chans=n_chans, interpret=interpret, _ablate=_ablate)
+
+
+def _fused_split(x, history, window, taps: int, n_chans: int, *,
+                 frac_delay=None, phase=None, gains=None, stage2=None,
+                 m1=None, tb=None, groups=None, layout="wire",
+                 interpret=False, _ablate=None):
+    """Split-I/O fused F-engine: chunk ``x (..., B, M)`` + carried
+    history ``(..., taps_pad, M)`` as separate kernel refs (no concat,
+    no input relayout — see :func:`fengine_fused` docstring)."""
+    m = 2 * n_chans
+    taps_pad = _round_up(taps, 8)
+    if x.shape[-1] != m or history.shape[-1] != m:
+        raise ValueError(f"frames must be M={m} wide, got chunk "
+                         f"{x.shape} / history {history.shape}")
+    if history.shape[-2] != taps_pad or \
+            history.shape[:-2] != x.shape[:-2]:
+        raise ValueError(
+            f"history must be (..., {taps_pad}, {m}) matching chunk "
+            f"lead dims, got {history.shape} vs chunk {x.shape}")
+    lead = x.shape[:-2]
+    b_out = x.shape[-2]
+    s = int(np.prod(lead)) if lead else 1
+    try:
+        m1v, m2, tw, wm = _fft_tables(m, m1)
+    except ValueError:
+        m1v = m2 = 0
+    if tb is None or groups is None:
+        tb_auto, g_auto = _choose_tiling(m, max(m2, 1), b_out, taps_pad)
+        if tb is None:
+            tb = tb_auto
+        if groups is None:
+            groups = g_auto
+    if (tb == 0 or m % 128 or taps < 2 or m2 == 0 or m2 % groups
+            or b_out % tb or tb < taps_pad):
+        # rebuild the concatenated stream and take the normal path
+        # (which itself falls back for untileable shapes) — split I/O
+        # is a fast-path-only calling convention
+        pad0 = taps_pad - taps + 1
+        full = jnp.concatenate([history[..., pad0:, :], x], axis=-2)
+        return fengine_fused(
+            full.reshape(lead + (-1,)), window, taps, n_chans,
+            frac_delay=frac_delay, phase=phase, gains=gains,
+            stage2=stage2, m1=m1, layout=layout, interpret=interpret,
+            _ablate=_ablate)
+    return _launch_fused(
+        history.reshape(s, taps_pad, m), x.reshape(s, b_out, m), window,
+        s=s, lead=lead, b_out=b_out, nb=b_out // tb, tb=tb,
+        groups=groups, taps=taps, taps_pad=taps_pad, m=m, m1v=m1v,
+        m2=m2, tw=tw, wm=wm, frac_delay=frac_delay, phase=phase,
+        gains=gains, stage2=stage2, pad0=taps_pad - taps + 1,
+        layout=layout, n_chans=n_chans, interpret=interpret,
+        _ablate=_ablate)
+
+
+def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
+                  groups, taps, taps_pad, m, m1v, m2, tw, wm,
+                  frac_delay, phase, gains, stage2, pad0, layout,
+                  n_chans, interpret, _ablate):
+    """Shared pallas_call construction + output decode for both input
+    conventions (``pad0 == 0``: ref_a = [history|stream], ref_b = tail
+    tile; ``pad0 > 0``: ref_a = history frames, ref_b = chunk frames).
+    """
+    quantized = gains is not None
+    if stage2 is None:
+        stage2 = _DEFAULT_STAGE2
+    k1n = m1v // 2
+    assert m2 * k1n == n_chans
     # (S, nb, 1, tb): trailing block dims equal the array dims, which
     # is the only legal way to hand a per-(stream, tile) vector to the
     # kernel (blocks must be (8,128)-tiled or full-dimension)
@@ -673,7 +827,7 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
         _kernel, taps=taps, taps_pad=taps_pad, tb=tb, nb=nb, m=m, m1=m1v,
         m2=m2, groups=groups, dif_offs=tuple(dif_offs),
         quantized=quantized, stage2=stage2, w_scale=w_scale,
-        ablate=_ablate)
+        ablate=_ablate, pad0=pad0)
     out_dtype = jnp.int8 if quantized else jnp.float32
     wm_shape = (2 * m1v, m1v)
     out = pl.pallas_call(
@@ -704,15 +858,22 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((s, 2 * m2, b_out, k1n), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tb, m), xr.dtype),
+            pltpu.VMEM((2, tb, m), ref_b.dtype),
             pltpu.VMEM((taps_pad, m), jnp.float32),
-            pltpu.VMEM((taps_pad, m), xr.dtype),
+            pltpu.VMEM((taps_pad, m), ref_b.dtype),
             pltpu.VMEM(((m2 // groups) * tb, 2 * m1v), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-    )(xr, tail, w, jnp.asarray(tw), jnp.asarray(dif_tbl), wm, wm_lo, fd,
-      ph, g_tbl)
+        # Mosaic's default 16 MB scoped-vmem stack limit rejects the
+        # int16 stage-2 variant at m=8192 (18.1 MB with its int8 z-split
+        # temporaries) even though the physical VMEM is 128 MB; the
+        # tiling model above already bounds OUR scratch, so give the
+        # compiler's stack room to breathe
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(ref_a, ref_b, w, jnp.asarray(tw), jnp.asarray(dif_tbl), wm, wm_lo,
+      fd, ph, g_tbl)
     # decode: out[s, 2*k2+c, t, k1] -> spectra[s, t, k2 + m2*k1, c].
     # Axis 1 is (k2, c) nested and channel k = k2 + m2*k1 means (k1, k2)
     # nesting in the wire K axis, so ONE 5-D transpose does the whole

@@ -40,7 +40,8 @@ from dc_sand_tpu.golden.chain import baseline_pairs
 from dc_sand_tpu.ops._dispatch import resolve_impl
 
 __all__ = ["xcorr", "xcorr_full", "extract_baselines", "extract_vis",
-           "xcorr_accumulate", "xcorr_accumulate_a2", "acc_shape"]
+           "xcorr_accumulate", "xcorr_accumulate_a2",
+           "xcorr_accumulate_native", "acc_shape"]
 
 
 def xcorr_full(q: jax.Array) -> jax.Array:
@@ -164,6 +165,112 @@ def xcorr_accumulate_a2(acc: jax.Array, a2: jax.Array,
         a2, a2, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.int32)
     return acc + full2
+
+
+def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
+                        x2_scr, *, ap, b, k1n, kg):
+    """Fused relayout + CMAC for one (k2-plane, k1-group) grid step.
+
+    The native F-engine layout has channel k1 on the LANE axis, but the
+    CMAC needs per-channel (2ap, b) matrices — a relayout XLA performs
+    as a ~117 GB/s HBM transpose pass (4.6 ms/chunk at the 64-ant 4k
+    shape).  Here the relayout happens on the MXU instead: contracting
+    an identity against the lane axis moves it to the FRONT
+    (``z[k1c, c, s, t] = sum_k1 I[k1c, k1] x2[c, s, t, k1]``) — each
+    output is a one-hot sum of int8-range values, exact in bf16 — and
+    the operand never round-trips HBM.  The per-channel CMAC then runs
+    in bf16 with fp32 accumulation, which is EXACT for int8 spectra as
+    long as b <= 1024 (|sum| <= b * 127^2 < 2^24); the wrapper gates on
+    that and falls back to the int8-MXU a2 path otherwise.
+    """
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        # qn block (ap, 1, 2, b, k1n) int8 — fetched once per k2 (the
+        # index map repeats across g, so Pallas skips the re-fetch);
+        # cast+leading-permute to stacked-real-major (c-major rows,
+        # matching the a2/acc convention)
+        x2_scr[...] = qn_ref[:, 0].astype(jnp.bfloat16).transpose(
+            1, 0, 2, 3)
+
+    # this k1-group's slice of the relayout: one MXU pass
+    zf = jax.lax.dot_general(
+        eye_ref[...], x2_scr[...], (((1,), (3,)), ((), ())),
+        preferred_element_type=jnp.float32)       # (kg, 2, ap, b)
+    z = zf.astype(jnp.bfloat16)                   # exact: int8 range
+    # integration-window reset rides into the accumulate (keep = 0
+    # zeroes the carry) — a lax.cond at the XLA level costs a full
+    # copy of the 1 GB accumulator on its identity arm
+    keep = keep_ref[0]
+    for k1 in range(kg):
+        a2 = z[k1].reshape(2 * ap, b)
+        v = jax.lax.dot_general(
+            a2, a2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # exact: < 2^24
+        out_ref[0, k1] = acc_ref[0, k1] * keep + v.astype(jnp.int32)
+
+
+def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
+                            reset=None, impl: str = "auto") -> jax.Array:
+    """Streaming X-engine integration STRAIGHT from the fused F-engine's
+    native plane layout (no materialised corner-turn).
+
+    ``acc: (K, 2ap, 2ap) int32`` in NATIVE channel order (k2-major,
+    ``K = m2 * k1n``); ``qn: (a, p, m2, 2, b, k1n) int8`` as produced by
+    ``f_engine(..., layout="native")`` (possibly after an ``all_to_all``
+    that split the m2 axis).  Bitwise-identical to building ``a2`` with
+    the XLA transpose and calling :func:`xcorr_accumulate_a2`; the
+    Pallas kernel does the relayout on the MXU in VMEM, replacing the
+    chunk's costliest HBM pass (SURVEY.md:146-150 C8 native kernel).
+
+    ``reset`` (optional traced bool) zeroes the carried accumulator for
+    a new integration window INSIDE the kernel — at the XLA level that
+    conditional costs a full defensive copy of the accumulator.
+    """
+    impl = resolve_impl(impl)
+    a, p, m2, _, b, k1n = qn.shape
+    ap = a * p
+    ok = (impl.startswith("pallas") and k1n % 128 == 0 and b % 128 == 0
+          and b <= 1024 and (2 * ap) % 8 == 0 and acc.shape[0] == m2 * k1n)
+    keep = (jnp.int32(1) if reset is None
+            else 1 - jnp.asarray(reset).astype(jnp.int32))
+    if not ok:
+        if reset is not None:
+            acc = acc * keep
+        a2 = qn.transpose(2, 5, 3, 0, 1, 4).reshape(
+            m2 * k1n, 2 * ap, b)
+        return xcorr_accumulate_a2(acc, a2, impl=impl)
+    kg = k1n // 4
+    qn2 = qn.reshape(ap, m2, 2, b, k1n)
+    eye = jnp.asarray(np.eye(k1n, dtype=np.float32), jnp.bfloat16)
+    acc4 = acc.reshape(m2, k1n, 2 * ap, 2 * ap)
+    out = pl.pallas_call(
+        functools.partial(_cmac_native_kernel, ap=ap, b=b, k1n=k1n,
+                          kg=kg),
+        grid=(m2, k1n // kg),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ap, 1, 2, b, k1n),
+                         lambda k2, g: (0, k2, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kg, k1n), lambda k2, g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kg, 2 * ap, 2 * ap),
+                         lambda k2, g: (k2, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, kg, 2 * ap, 2 * ap),
+                               lambda k2, g: (k2, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(acc4.shape, jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2, ap, b, k1n), jnp.bfloat16)],
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=(impl == "pallas_interpret"),
+    )(keep.reshape(1), qn2, eye, acc4)
+    return out.reshape(acc.shape)
 
 
 def extract_vis(acc: jax.Array, n_ants: int, n_pols: int) -> jax.Array:

@@ -52,6 +52,11 @@ def load_state(runner, path: str) -> None:
         raise ValueError(
             f"checkpoint config hash {saved_hash} != runner config "
             f"{runner.cfg.config_hash()}")
+    if z["history"].shape != tuple(runner.history.shape):
+        raise ValueError(
+            f"checkpoint history shape {z['history'].shape} != runner's "
+            f"{tuple(runner.history.shape)} — saved under a different "
+            "step I/O convention (frames vs samples; platform-dependent)")
     runner.history = jnp.asarray(z["history"])
     runner.vis_acc = jnp.asarray(z["vis_acc"])
     runner.t0 = int(z["t0"])

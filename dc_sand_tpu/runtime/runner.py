@@ -80,9 +80,16 @@ class FXRunner:
         self.weights = jnp.asarray(
             weights if weights is not None
             else np.zeros((max(cfg.n_beams, 1), a, k, 2), np.float32))
-        hist = history_len(
-            cfg, 0 if self.coarse_on_host else self.max_delay)
-        self.history = jnp.zeros((a, p, hist), jnp.int8)
+        from dc_sand_tpu.models.pipeline import (uses_frames_io,
+                                                 history_shape)
+        dev_md = 0 if self.coarse_on_host else self.max_delay
+        # frames I/O: carry/chunk cross the jit boundary in frame form
+        # (A*P, nf, M) so the fused kernel reads them as separate HBM
+        # refs — no [history|chunk] concat, no parameter relayout
+        self._frames_io = uses_frames_io(cfg, impl, dev_md,
+                                         self.coarse_on_host)
+        self.history = jnp.zeros(
+            history_shape(cfg, dev_md, self._frames_io), jnp.int8)
         self._host_tail = (np.zeros((a, p, self.max_delay), np.int8)
                            if self.coarse_on_host and self.max_delay
                            else None)
@@ -172,6 +179,12 @@ class FXRunner:
             reset = self._acc_spectra == 0
             if reset:
                 self._acc_first_chunk = i
+            if self._frames_io:
+                # (A, P, T) -> (A*P, B, M): a free row-major view; the
+                # device array then has exactly the layout the fused
+                # kernel's chunk ref wants
+                chunk = np.asarray(chunk).reshape(
+                    cfg.n_ants * cfg.n_pols, b, 2 * cfg.n_chans)
             self.history, self.vis_acc, outputs = self._step(
                 self.history, self.vis_acc, jnp.asarray(chunk),
                 jnp.asarray(coarse), jnp.asarray(frac),

@@ -234,6 +234,72 @@ class TestFusedFEngine:
         out = fengine_fused(jnp.asarray(x), w, taps, nch, interpret=True)
         assert snr_db(ref, np_ri2c(out)) > 100
 
+    def test_split_io_matches_concat_path(self):
+        """Split-I/O mode (chunk + carried history as separate kernel
+        refs — the streaming fast path with no concat/relayout) equals
+        the concatenated-stream path: float outputs to fp32 tolerance,
+        quantised outputs within +-1 LSB (the pad0 shift regroups the
+        FIR's residue-class summation order)."""
+        from dc_sand_tpu.ops.fengine_fused import fengine_fused, _round_up
+        rng = np.random.default_rng(33)
+        taps, nch, B, s = 16, 512, 16, 3
+        m = 2 * nch
+        taps_pad = _round_up(taps, 8)
+        pad0 = taps_pad - taps + 1
+        w = pfb_window(taps, m)
+        hist = rng.integers(-80, 80, (s, taps_pad, m)).astype(np.int8)
+        chunk = rng.integers(-80, 80, (s, B, m)).astype(np.int8)
+        fd = rng.uniform(-.5, .5, (s, B)).astype(np.float32)
+        ph = rng.uniform(-np.pi, np.pi, (s, B)).astype(np.float32)
+        g = np.stack([np.full((nch,), 0.05, np.float32),
+                      np.zeros((nch,), np.float32)], -1)
+        full = np.concatenate([hist[:, pad0:, :], chunk],
+                              axis=1).reshape(s, -1)
+        for kw in ({}, {"frac_delay": fd, "phase": ph,
+                        "gains": jnp.asarray(g)}):
+            ref = np.asarray(fengine_fused(
+                jnp.asarray(full), w, taps, nch, stage2="fp32",
+                interpret=True, **kw))
+            got = np.asarray(fengine_fused(
+                jnp.asarray(chunk), w, taps, nch,
+                history=jnp.asarray(hist), stage2="fp32",
+                interpret=True, **kw))
+            if ref.dtype == np.int8:
+                assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+            else:
+                np.testing.assert_allclose(
+                    got, ref, rtol=0, atol=2e-5 * np.abs(ref).max())
+
+    def test_split_io_native_layout_streaming_vs_one_shot(self):
+        """Two frames-I/O chunks chained through the carried history
+        equal one long concatenated stream (overlap-save continuity
+        across the chunk boundary), in the native plane layout."""
+        from dc_sand_tpu.ops.fengine_fused import fengine_fused, _round_up
+        rng = np.random.default_rng(34)
+        taps, nch, B, s = 4, 512, 8, 2
+        m = 2 * nch
+        taps_pad = _round_up(taps, 8)
+        pad0 = taps_pad - taps + 1
+        w = pfb_window(taps, m)
+        chunks = [rng.integers(-80, 80, (s, B, m)).astype(np.int8)
+                  for _ in range(2)]
+        hist = np.zeros((s, taps_pad, m), np.int8)
+        outs = []
+        for c in chunks:
+            outs.append(np.asarray(fengine_fused(
+                jnp.asarray(c), w, taps, nch, history=jnp.asarray(hist),
+                stage2="fp32", layout="native", interpret=True)))
+            hist = c[:, B - taps_pad:, :]
+        full = np.concatenate(
+            [np.zeros((s, taps - 1, m), np.int8)] + chunks,
+            axis=1).reshape(s, -1)
+        ref = np.asarray(fengine_fused(
+            jnp.asarray(full), w, taps, nch, stage2="fp32",
+            layout="native", interpret=True))
+        got = np.concatenate(outs, axis=3)   # (s, m2, 2, B_total, k1n)
+        np.testing.assert_allclose(got, ref,
+                                   rtol=0, atol=2e-5 * np.abs(ref).max())
+
     def test_small_m_falls_back(self):
         """Shapes the kernel can't tile route to the unfused ops."""
         from dc_sand_tpu.ops.fengine_fused import fengine_fused
@@ -351,6 +417,24 @@ class TestXcorrAccumulate:
         per_chunk = sum(np.asarray(ops.xcorr(jnp.asarray(q)))
                         for q in chunks)
         np.testing.assert_array_equal(vis, per_chunk)
+
+    def test_native_layout_kernel_matches_transpose_path_bitwise(self):
+        """The fused relayout+CMAC kernel (MXU identity-dot corner-turn,
+        bf16 CMAC with fp32 accumulation) is exact vs the int8 a2 path
+        at a kernel-eligible shape (b and k1n multiples of 128)."""
+        rng = np.random.default_rng(7)
+        a, p, m2, b, k1n = 4, 2, 2, 128, 128
+        qn = jnp.asarray(rng.integers(-127, 128, (a, p, m2, 2, b, k1n),
+                                      dtype=np.int8))
+        acc0 = jnp.asarray(rng.integers(-1000, 1000,
+                                        (m2 * k1n, 2 * a * p, 2 * a * p),
+                                        dtype=np.int32))
+        got = np.asarray(ops.xcorr_accumulate_native(
+            acc0, qn, impl="pallas_interpret"))
+        a2 = qn.transpose(2, 5, 3, 0, 1, 4).reshape(
+            m2 * k1n, 2 * a * p, b)
+        ref = np.asarray(ops.xcorr_accumulate_a2(acc0, a2, impl="jnp"))
+        np.testing.assert_array_equal(got, ref)
 
 
 class TestStokes:

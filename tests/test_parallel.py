@@ -187,8 +187,10 @@ class TestPallasUnderShardMap:
         pinned impl="jnp" everywhere under shard_map, leaving the
         Pallas-in-SPMD seam untested (VERDICT r1 weak #5)."""
         from dc_sand_tpu.config import ChainConfig
-        from dc_sand_tpu.models.pipeline import (make_step, history_len,
-                                                 zero_vis_acc)
+        from dc_sand_tpu.models.pipeline import (make_step, zero_vis_acc,
+                                                 uses_frames_io,
+                                                 history_shape,
+                                                 chunk_shape)
         d = 4
         mesh = build_mesh(n_devices=d)
         nch = 512  # m=1024: smallest fused-tileable FFT (m1=256, m2=4)
@@ -199,11 +201,13 @@ class TestPallasUnderShardMap:
         w = pfb_window(cfg.n_taps, cfg.fft_size)
         rng = np.random.default_rng(70)
         a, p, k, b = cfg.n_ants, cfg.n_pols, nch, cfg.spectra_per_chunk
-        stream = _noise_int8((a, p, cfg.chunk_samples), seed=71)
+        # the fused step takes frames I/O (split history/chunk refs)
+        assert uses_frames_io(cfg, "fused_interpret", 0)
+        stream = _noise_int8(chunk_shape(cfg, True), seed=71)
         gains = np.zeros((k, 2), np.float32)
         gains[:, 0] = 0.05
         args = (
-            jnp.zeros((a, p, history_len(cfg, 0)), jnp.int8),
+            jnp.zeros(history_shape(cfg, 0, True), jnp.int8),
             zero_vis_acc(cfg),
             jnp.asarray(stream),
             jnp.zeros((a, p), jnp.int32),
