@@ -31,13 +31,38 @@ def main() -> None:
                           iters=128)
     res1k.save(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench", "results"))
+    # the full single-chip FX-correlator step (F-engine + X-engine +
+    # integration, 64 ants dual-pol 4k chans) rides along from its most
+    # recent recorded run — its ~20 min scan-program compile is too
+    # fragile for this entry point (axon compile-helper roulette), but
+    # the record is measured on this same chip by bench_fx_step
+    fx = None
+    try:
+        rdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench", "results")
+        recs = sorted((f for f in os.listdir(rdir)
+                       if f.startswith("fx_step_64ant_")),
+                      key=lambda f: os.path.getmtime(
+                          os.path.join(rdir, f)))
+        for name in reversed(recs):
+            with open(os.path.join(rdir, name)) as fh:
+                r = json.load(fh)
+            if r["extra"].get("n_chans") == 4096:
+                fx = {"gsamp_s": r["value"] / 1e9,
+                      "vs_realtime_floor":
+                          r["extra"]["vs_realtime_floor"],
+                      "record": name}
+                break
+    except Exception:
+        pass
     print(json.dumps({
         "metric": res.metric + " (4k chans, contract shape)",
         "value": res.value,
         "unit": res.unit,
         "vs_baseline": res.value / REALTIME_FLOOR_PER_CHIP,
         "extra": {"gsamp_s_1k_chans": res1k.value / 1e9,
-                  "bottleneck": res.extra.get("bottleneck")},
+                  "bottleneck": res.extra.get("bottleneck"),
+                  "fx_step_64ant_4k_recorded": fx},
     }))
 
 
