@@ -60,12 +60,42 @@ struct ChunkSlot {
   }
 };
 
+// Zero every byte of slot.data NOT covered by a packet, by scanning the
+// coverage bitmap for zero-runs.  Replaces the eager whole-slot memset
+// on first touch: in the common complete case this touches NOTHING, so
+// the assembler's memory traffic per chunk drops from 3 passes
+// (memset + packet memcpy + retire copy) toward 1 (the packet memcpy,
+// with the zero-copy retire_view API).
+void fill_gaps(ChunkSlot& slot, uint64_t nbytes) {
+  if (slot.filled_bytes == nbytes) return;
+  const uint64_t nwords = (nbytes + 63) / 64;
+  uint64_t w = 0;
+  while (w < nwords) {
+    uint64_t cov = slot.cover[w];
+    if (cov == ~uint64_t(0)) {
+      ++w;
+    } else if (cov == 0) {
+      uint64_t w2 = w + 1;
+      while (w2 < nwords && slot.cover[w2] == 0) ++w2;
+      uint64_t b0 = w * 64, b1 = std::min(w2 * 64, nbytes);
+      std::memset(slot.data.data() + b0, 0, b1 - b0);
+      w = w2;
+    } else {
+      for (int b = 0; b < 64 && w * 64 + b < nbytes; ++b) {
+        if (!(cov & (uint64_t(1) << b))) slot.data[w * 64 + b] = 0;
+      }
+      ++w;
+    }
+  }
+}
+
 struct Ingest {
   int n_ants, n_pols;
   uint64_t chunk_samples;
   int n_slots;
   std::vector<ChunkSlot> slots;
   uint64_t window_tail_chunk = 0;  // oldest chunk index in the window
+  int64_t borrowed_chunk = -1;     // chunk whose slot retire_view lent out
   // per-stream coarse delay (read-pointer semantics): a stream delayed
   // by d has its samples placed d later on the aligned timeline; the
   // head of the timeline reads as zeros until the delayed data arrives
@@ -225,12 +255,21 @@ int submit_locked(Ingest* ig, int ant, int pol, uint64_t timestamp,
   }
   for (uint64_t c = std::max(first_chunk, ig->window_tail_chunk);
        c <= last_chunk && c < ig->window_tail_chunk + ig->n_slots; ++c) {
+    if (ig->borrowed_chunk >= 0 &&
+        c % ig->n_slots == uint64_t(ig->borrowed_chunk) % ig->n_slots) {
+      // the ring wrapped onto a slot still lent out by retire_view —
+      // the consumer is too slow; count and drop rather than corrupt
+      ig->packets_bad++;
+      continue;
+    }
     ChunkSlot& slot = ig->slot_for(c);
     if (!slot.in_window) {
       slot.start_sample = c * ig->chunk_samples;
       slot.filled_bytes = 0;
       slot.in_window = true;
-      std::memset(slot.data.data(), 0, slot.data.size());
+      // NO eager data memset: uncovered bytes are zeroed at retire by
+      // fill_gaps (free in the complete case); only the 1/64-size
+      // coverage bitmap clears here
       std::fill(slot.cover.begin(), slot.cover.end(), 0);
     }
     uint64_t c0 = c * ig->chunk_samples, c1 = c0 + ig->chunk_samples;
@@ -260,6 +299,11 @@ long long ingest_retire(void* h, int8_t* out, int force) {
   auto* ig = static_cast<Ingest*>(h);
   std::lock_guard<std::mutex> lock(ig->mu);
   ChunkSlot& slot = ig->slot_for(ig->window_tail_chunk);
+  if (ig->borrowed_chunk >= 0 &&
+      ig->window_tail_chunk % ig->n_slots ==
+          uint64_t(ig->borrowed_chunk) % ig->n_slots) {
+    return -5;  // slot still lent out; ingest_release first
+  }
   if (!force &&
       (!slot.in_window || slot.filled_bytes != ig->chunk_bytes())) {
     return -1;
@@ -269,12 +313,50 @@ long long ingest_retire(void* h, int8_t* out, int force) {
     ig->window_tail_chunk++;
     return 0;
   }
+  fill_gaps(slot, ig->chunk_bytes());
   std::memcpy(out, slot.data.data(), ig->chunk_bytes());
   long long fill =
       (long long)(slot.filled_bytes * 1000000ULL / ig->chunk_bytes());
   slot.in_window = false;
   ig->window_tail_chunk++;
   return fill;
+}
+
+// Zero-copy retire: hand the caller a pointer to the slot's own buffer
+// (gaps zero-filled) instead of copying the chunk out — the production
+// feed path (the next hop is the host->device transfer, which reads
+// the slot directly).  The slot stays OUT of the ring until
+// ingest_release(); packets that wrap onto it meanwhile are counted
+// bad and dropped.  Returns fill ppm, -1 as ingest_retire, or -5 if a
+// view is already outstanding (one at a time).
+long long ingest_retire_view(void* h, int8_t** out, int force) {
+  auto* ig = static_cast<Ingest*>(h);
+  std::lock_guard<std::mutex> lock(ig->mu);
+  if (ig->borrowed_chunk >= 0) return -5;
+  ChunkSlot& slot = ig->slot_for(ig->window_tail_chunk);
+  if (!force &&
+      (!slot.in_window || slot.filled_bytes != ig->chunk_bytes())) {
+    return -1;
+  }
+  long long fill = 0;
+  if (!slot.in_window) {
+    std::memset(slot.data.data(), 0, ig->chunk_bytes());
+  } else {
+    fill_gaps(slot, ig->chunk_bytes());
+    fill = (long long)(slot.filled_bytes * 1000000ULL /
+                       ig->chunk_bytes());
+    slot.in_window = false;
+  }
+  *out = slot.data.data();
+  ig->borrowed_chunk = (int64_t)ig->window_tail_chunk;
+  ig->window_tail_chunk++;
+  return fill;
+}
+
+void ingest_release(void* h) {
+  auto* ig = static_cast<Ingest*>(h);
+  std::lock_guard<std::mutex> lock(ig->mu);
+  ig->borrowed_chunk = -1;
 }
 
 void ingest_stats(void* h, uint64_t* ok, uint64_t* late, uint64_t* bad) {

@@ -62,7 +62,8 @@ def bench_ingest_host(n_ants: int = 64, n_pols: int = 2,
                       n_chans: int = 1024, spectra: int = 64,
                       n_chunks: int = 8, packet_samples: int = 16384,
                       delay_in_ingest: bool = True, n_workers: int = 1,
-                      max_delay: int = 64) -> BenchResult:
+                      max_delay: int = 64,
+                      zero_copy: bool = False) -> BenchResult:
     """Host feed path: submit -> retire -> coarse delay, no device.
 
     ``n_workers > 1`` shards the antennas over that many independent
@@ -71,6 +72,11 @@ def bench_ingest_host(n_ants: int = 64, n_pols: int = 2,
     during the native burst, so workers genuinely overlap).  One full
     pass over the ring warms the slot pages before timing (first-touch
     page faults otherwise read as 10x the steady-state cost).
+
+    ``zero_copy=True`` retires via ``retire_view`` (the production
+    pattern: gaps zero-filled in place, NO chunk-sized copy out — the
+    next consumer is the host->device transfer reading the slot
+    directly), vs the copying ``retire``.
     """
     import threading
 
@@ -103,7 +109,11 @@ def bench_ingest_host(n_ants: int = 64, n_pols: int = 2,
             ing.submit_burst(ants, pols,
                              tss + np.uint64(i * c_samp), payload,
                              packet_samples)
-            chunk, _fill = ing.retire(force=True)
+            if zero_copy:
+                chunk, _fill = ing.retire_view(force=True)
+                ing.release()
+            else:
+                chunk, _fill = ing.retire(force=True)
             if not delay_in_ingest:
                 # the runner's vectorised host gather (runner.py)
                 buf = np.concatenate([host_tail, chunk], axis=-1)
@@ -141,6 +151,8 @@ def bench_ingest_host(n_ants: int = 64, n_pols: int = 2,
             f"ingest bench submitted late packets ({stats}); the "
             "measured rate would not include placement cost")
     name = f"ingest_host_{'placed' if delay_in_ingest else 'gather'}"
+    if zero_copy:
+        name += "_view"
     if n_workers > 1:
         name += f"_{n_workers}w"
     return BenchResult(
@@ -188,10 +200,14 @@ def bench_ingest_runner(n_ants: int = 16, n_pols: int = 2,
     runner = FXRunner(cfg, window, delay_model=rdm, impl="auto")
 
     def source(i):
+        # zero-copy feed: the previous chunk's slot was consumed by the
+        # runner's (synchronous) host->device transfer inside run(), so
+        # it can go back to the ring before borrowing the next one
+        ing.release()
         ants, pols, tss, payload = bursts[i % n_chunks]
         ing.submit_burst(ants, pols, tss + np.uint64(i * c_samp),
                          payload, packet_samples)
-        return ing.retire(force=True)[0]
+        return ing.retire_view(force=True)[0]
 
     runner.run(source, 1)          # warm the compiled step
     t0 = time.perf_counter()

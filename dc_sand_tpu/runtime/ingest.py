@@ -51,6 +51,11 @@ def load_library() -> ctypes.CDLL:
     lib.ingest_retire.argtypes = [ctypes.c_void_p,
                                   ctypes.POINTER(ctypes.c_int8),
                                   ctypes.c_int]
+    lib.ingest_retire_view.restype = ctypes.c_longlong
+    lib.ingest_retire_view.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.c_int]
+    lib.ingest_release.argtypes = [ctypes.c_void_p]
     lib.ingest_stats.argtypes = [ctypes.c_void_p] + \
         [ctypes.POINTER(ctypes.c_uint64)] * 3
     lib.ingest_set_delay.restype = ctypes.c_int
@@ -144,9 +149,36 @@ class NativeIngest:
         r = self._lib.ingest_retire(
             self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             1 if force else 0)
+        if r == -5:
+            raise RuntimeError("a retire_view() slot is still lent out "
+                               "for this ring position; release() first")
         if r < 0:
             return None, 0.0
         return out, r / 1e6
+
+    def retire_view(self, force: bool = False):
+        """Zero-copy retire: -> (chunk VIEW int8 (A,P,C) or None, fill).
+
+        The returned array aliases the assembler's own slot buffer (gap
+        bytes zero-filled in place) — the production feed path hands
+        this straight to the host->device transfer with no chunk-sized
+        copy.  The slot stays out of the ring until :meth:`release`;
+        only one view may be outstanding at a time."""
+        ptr = ctypes.POINTER(ctypes.c_int8)()
+        r = self._lib.ingest_retire_view(self._h, ctypes.byref(ptr),
+                                         1 if force else 0)
+        if r == -5:
+            raise RuntimeError("retire_view already outstanding; "
+                               "release() first")
+        if r < 0:
+            return None, 0.0
+        arr = np.ctypeslib.as_array(ptr, shape=self._shape)
+        return arr, r / 1e6
+
+    def release(self) -> None:
+        """Return the retire_view slot to the ring (the view's memory
+        must no longer be read)."""
+        self._lib.ingest_release(self._h)
 
     def stats(self):
         ok = ctypes.c_uint64()

@@ -122,6 +122,57 @@ class TestAssembler:
         assert fill == 0.0
         np.testing.assert_array_equal(chunk, 0)
 
+    def test_slot_reuse_zeroes_stale_gap_bytes(self):
+        """The assembler no longer memsets slots eagerly — uncovered
+        bytes are zeroed at retire via the coverage bitmap, so a partial
+        chunk reusing a slot must NOT leak the previous occupant."""
+        a, p, c = 1, 1, 64
+        ing = NativeIngest(a, p, c, n_slots=2)
+        full = np.full((c,), 55, np.int8)
+        ing.submit(0, 0, 0, full.tobytes())
+        chunk, fill = ing.retire()
+        assert fill == 1.0
+        ing.submit(0, 0, 1 * c, full.tobytes())
+        ing.retire()
+        # chunk 2 reuses chunk 0's slot; only cover bytes [16, 32)
+        part = np.full((16,), 77, np.int8)
+        ing.submit(0, 0, 2 * c + 16, part.tobytes())
+        chunk, fill = ing.retire(force=True)
+        ref = np.zeros((c,), np.int8)
+        ref[16:32] = 77
+        np.testing.assert_array_equal(chunk[0, 0], ref)
+
+    def test_retire_view_zero_copy_and_release(self):
+        a, p, c = 2, 1, 64
+        ing = NativeIngest(a, p, c, n_slots=2)
+        rng = np.random.default_rng(5)
+        ref = rng.integers(-100, 100, (a, p, c), dtype=np.int8)
+        for i in range(a):
+            ing.submit(i, 0, 0, ref[i, 0].tobytes())
+        view, fill = ing.retire_view()
+        assert fill == 1.0
+        np.testing.assert_array_equal(view, ref)
+        # a second outstanding view is refused
+        with pytest.raises(RuntimeError, match="outstanding"):
+            ing.retire_view(force=True)
+        ing.release()
+        chunk, _ = ing.retire(force=True)   # next chunk works post-release
+        np.testing.assert_array_equal(chunk, 0)
+
+    def test_borrowed_slot_wrap_drops_packets(self):
+        """Packets that wrap onto a slot still lent out by retire_view
+        are dropped and counted bad, never corrupting the view."""
+        a, p, c = 1, 1, 16
+        ing = NativeIngest(a, p, c, n_slots=2)
+        ing.submit(0, 0, 0, np.full((c,), 9, np.int8).tobytes())
+        view, _ = ing.retire_view()          # borrows chunk 0's slot
+        bad0 = ing.stats()["packets_bad"]
+        # chunk 2 maps to the borrowed slot (2 % 2 == 0)
+        ing.submit(0, 0, 2 * c, np.full((c,), 1, np.int8).tobytes())
+        assert ing.stats()["packets_bad"] == bad0 + 1
+        np.testing.assert_array_equal(view[0, 0], 9)  # view intact
+        ing.release()
+
     def test_10bit_packets(self):
         a, p, c = 1, 1, 64
         ing = NativeIngest(a, p, c)
