@@ -209,7 +209,13 @@ def bench_ingest_runner(n_ants: int = 16, n_pols: int = 2,
                          payload, packet_samples)
         return ing.retire_view(force=True)[0]
 
-    runner.run(source, 1)          # warm the compiled step
+    # warm through a FULL dump cadence: the first dump compiles and
+    # first-executes the extraction program, and this box's backend
+    # charges minutes for any executable's first real execution —
+    # warming only the step left ~170 s of extract warm-up inside the
+    # first timed chunk
+    n_warm = cfg.n_spectra_per_acc // cfg.spectra_per_chunk + 1
+    runner.run(source, n_warm)
     t0 = time.perf_counter()
     runner.run(source, n_chunks - 1)
     wall = time.perf_counter() - t0

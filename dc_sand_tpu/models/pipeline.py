@@ -190,6 +190,14 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
     # transpose absorbs the wire-order decode for free
     native_fx = (mode == "fx"
                  and fx_channel_perm(cfg, impl, mesh) is not None)
+    # ... and into the B-engine: beamform_native relayouts on the MXU in
+    # VMEM (weights are per-antenna so the antenna-sharded beam mode
+    # needs no channel-divisibility condition)
+    from dc_sand_tpu.ops.fengine_fused import fused_native_ok
+    native_beam = (mode == "beam" and _fused_capable(impl)
+                   and fused_native_ok(cfg.n_chans, cfg.n_taps,
+                                       cfg.spectra_per_chunk))
+    native = native_fx or native_beam
     # frames I/O: history/chunk cross the jit boundary in FRAME form and
     # reach the fused kernel as separate HBM refs (no concat/relayout)
     frames_io = uses_frames_io(cfg, impl, max_delay, coarse_on_host)
@@ -206,7 +214,7 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
                 phase=(phase.reshape(s_l, b_l)
                        if cfg.apply_delay else None),
                 gains=gains if quantized else None, impl=impl,
-                layout="native" if native_fx else "wire")
+                layout="native" if native else "wire")
             # back to (a, p, ...) leading dims for the shared fx/beam
             # tail below (a free leading-axis split)
             q = q.reshape(coarse.shape + q.shape[1:])
@@ -220,7 +228,7 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
                          frac_delay=frac if cfg.apply_delay else None,
                          phase=phase if cfg.apply_delay else None,
                          gains=gains if quantized else None, impl=impl,
-                         layout="native" if native_fx else "wire")
+                         layout="native" if native else "wire")
             new_history = buf[..., chunk.shape[-1]:]
         outputs = {}
         if mode == "fengine":
@@ -251,7 +259,16 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
                                   if mesh is not None else q, 3, 0)
                 vis_acc = ops.xcorr_accumulate(base, qk, impl=x_impl)
         else:  # beam
-            coh = ops.beamform(q, weights)
+            if native_beam:
+                # q is native (a, p, m2, 2, B, k1n); the Pallas kernel
+                # relayouts on the MXU in VMEM (weights are per-antenna,
+                # so local-antenna partial beams psum as in wire mode)
+                b_impl = {"jnp": "jnp",
+                          "fused_interpret":
+                              "pallas_interpret"}.get(impl, "auto")
+                coh = ops.beamform_native(q, weights, impl=b_impl)
+            else:
+                coh = ops.beamform(q, weights)
             if mesh is not None:
                 coh = jax.lax.psum(coh, FX_AXIS)
             if cfg.beam_quant_scale:
@@ -261,7 +278,8 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
                 ).astype(jnp.int8)
             outputs["beams"] = coh
             if cfg.incoherent_beam:
-                inc = ops.incoherent_sum(q)
+                inc = (ops.incoherent_sum_native(q) if native_beam
+                       else ops.incoherent_sum(q))
                 if mesh is not None:
                     inc = jax.lax.psum(inc, FX_AXIS)
                 outputs["incoherent"] = inc

@@ -18,5 +18,6 @@ from .quant import requantize, dequantize  # noqa: F401
 from .xcorr import (xcorr, xcorr_accumulate,  # noqa: F401
                     xcorr_accumulate_a2, xcorr_accumulate_native,
                     extract_vis, acc_shape)
-from .beamform import beamform, incoherent_sum  # noqa: F401
+from .beamform import (beamform, beamform_native,  # noqa: F401
+                       incoherent_sum, incoherent_sum_native)
 from .stokes import stokes  # noqa: F401

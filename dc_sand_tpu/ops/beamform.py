@@ -103,6 +103,122 @@ def _beamform_pallas(xr, xi, wr, wi, interpret=False):
     return jnp.stack([out[0], out[1]], axis=-1)
 
 
+def _beam_native_kernel(qn_ref, eye_ref, wh_ref, wl_ref, out_ref,
+                        x2_scr, *, a, p, b, k1n, kg):
+    """Beamform one (k2-plane, k1-group) straight from the fused
+    F-engine's native layout.
+
+    Same relayout trick as the X-engine's native CMAC kernel
+    (ops/xcorr.py:_cmac_native_kernel): channel k1 lives on the LANE
+    axis, so an identity contraction against it moves it to the front
+    on the MXU — exact in bf16 for int8 spectra — and the operand never
+    round-trips HBM for the (a,p,b,K)->(K,..) transpose that made the
+    XLA beam path input-relayout-bound.  Per (k1, pol) the beam product
+    is the stacked-real matmul ``[yr; yi] = [[wr,-wi],[wi,wr]] @
+    [xr; xi]`` with hi/lo-bf16-split weights (two MXU passes, fp32
+    accumulation — same ~16-bit effective weight mantissa as the wire
+    kernel above)."""
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        blk = qn_ref[:, 0]                       # (ap, 2, b, k1n) int8
+        x2_scr[...] = blk.reshape(a, p, 2, b, k1n).astype(
+            jnp.bfloat16).transpose(1, 2, 0, 3, 4)   # (p, 2, a, b, k1n)
+
+    for pi in range(p):
+        z = jax.lax.dot_general(
+            eye_ref[...], x2_scr[pi], (((1,), (3,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (kg, 2, a, b)
+        zb = z.astype(jnp.bfloat16)                  # exact: int8 range
+        for k1 in range(kg):
+            a2 = zb[k1].reshape(2 * a, b)
+
+            def dot(w):
+                return jax.lax.dot_general(
+                    w, a2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            out_ref[0, k1, pi] = dot(wh_ref[0, k1]) + dot(wl_ref[0, k1])
+
+
+def beamform_native(qn: jax.Array, weights: jax.Array,
+                    impl: str = "auto") -> jax.Array:
+    """Coherent beams STRAIGHT from the fused F-engine's native plane
+    layout ``qn: (a, p, m2, 2, b, k1n)`` int8 (no materialised
+    corner-turn; channel ``k = k2 + m2*k1``).  ``weights: (beam, a, K,
+    2)`` float32 in NATURAL channel order.  Returns wire-format
+    ``(beam, p, b, K, 2)`` float32 — numerically the same bf16-split
+    product as the wire-layout Pallas kernel.
+    """
+    rimpl = resolve_impl(impl)
+    a, p, m2, _, b, k1n = qn.shape
+    nb = weights.shape[0]
+    k = m2 * k1n
+    ok = (rimpl.startswith("pallas") and qn.dtype == jnp.int8
+          and k1n % 128 == 0 and b % 128 == 0 and (2 * a) % 8 == 0
+          and (2 * nb) % 8 == 0 and weights.shape[2] == k)
+    if not ok:
+        # decode native -> wire at XLA level, then the normal path:
+        # [a, p, k2, c, b, k1] -> [a, p, b, (k1, k2), c]
+        x = qn.transpose(0, 1, 4, 5, 2, 3).reshape(a, p, b, k, 2)
+        return beamform(x, weights, impl=impl)
+    wr, wi = _split_ri(weights)
+    # natural k = k2 + m2*k1 -> (m2, k1n, nb, a) native-plane tables
+    wr4 = wr.reshape(nb, a, k1n, m2).transpose(3, 2, 0, 1)
+    wi4 = wi.reshape(nb, a, k1n, m2).transpose(3, 2, 0, 1)
+    w2 = jnp.concatenate([
+        jnp.concatenate([wr4, -wi4], axis=-1),
+        jnp.concatenate([wi4, wr4], axis=-1),
+    ], axis=2)                                   # (m2, k1n, 2nb, 2a)
+    wh = w2.astype(jnp.bfloat16)
+    wl = (w2 - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+    eye = jnp.asarray(np.eye(k1n, dtype=np.float32), jnp.bfloat16)
+    kg = k1n // 4
+    qn2 = qn.reshape(a * p, m2, 2, b, k1n)
+    out = pl.pallas_call(
+        functools.partial(_beam_native_kernel, a=a, p=p, b=b, k1n=k1n,
+                          kg=kg),
+        grid=(m2, k1n // kg),
+        in_specs=[
+            pl.BlockSpec((a * p, 1, 2, b, k1n),
+                         lambda k2, g: (0, k2, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kg, k1n), lambda k2, g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kg, 2 * nb, 2 * a),
+                         lambda k2, g: (k2, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kg, 2 * nb, 2 * a),
+                         lambda k2, g: (k2, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, kg, p, 2 * nb, b),
+                               lambda k2, g: (k2, g, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m2, k1n, p, 2 * nb, b),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((p, 2, a, b, k1n), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=(rimpl == "pallas_interpret"),
+    )(qn2, eye, wh, wl)
+    # (m2, k1n, p, [yr;yi](2, nb), b) -> wire (nb, p, b, k, 2)
+    out6 = out.reshape(m2, k1n, p, 2, nb, b)
+    return out6.transpose(4, 2, 5, 1, 0, 3).reshape(nb, p, b, k, 2)
+
+
+def incoherent_sum_native(qn: jax.Array) -> jax.Array:
+    """C11 on the native plane layout: ``sum_ant |x|^2`` -> wire-order
+    ``(p, b, K)`` float32.  The reduce runs on the native layout (XLA
+    fuses it with the producer); only the small (p, b, K) RESULT is
+    transposed to natural channel order."""
+    x = qn.astype(jnp.float32)
+    inc = jnp.sum(x * x, axis=(0, 3))            # (p, m2, b, k1n)
+    return jnp.moveaxis(inc, 1, 3).reshape(
+        inc.shape[0], inc.shape[2], -1)   # (p, b, K) with k = k1*m2+k2
+
+
 def beamform(x: jax.Array, weights: jax.Array,
              impl: str = "auto") -> jax.Array:
     """``y[e,p,b,k] = sum_a w[e,a,k] * x[a,p,b,k]``.

@@ -360,6 +360,44 @@ class TestBeamformPallas:
         ref_g = golden.beamform(qc, wg)
         assert snr_db(ref_g, np_ri2c(got)) > 85
 
+    def test_native_layout_beamform_matches_wire_path(self):
+        """beamform_native (MXU identity-dot relayout from the fused
+        F-engine's plane layout, per-(k1, pol) bf16-split matmuls)
+        equals decoding to wire order and beamforming there."""
+        rng = np.random.default_rng(57)
+        a, p, m2, b, k1n, nb = 4, 2, 2, 128, 128, 4
+        k = m2 * k1n
+        qn = jnp.asarray(rng.integers(-100, 100, (a, p, m2, 2, b, k1n),
+                                      dtype=np.int8))
+        w = jnp.asarray(rng.normal(size=(nb, a, k, 2)).astype(np.float32))
+        got = np.asarray(ops.beamform_native(qn, w,
+                                             impl="pallas_interpret"))
+        # reference: decode native -> wire, then the jnp einsum path
+        x = np.asarray(qn).transpose(0, 1, 4, 5, 2, 3).reshape(
+            a, p, b, k, 2)
+        ref = np.asarray(ops.beamform(jnp.asarray(x), w, impl="jnp"))
+        assert got.shape == ref.shape == (nb, p, b, k, 2)
+        assert snr_db(ref, got) > 85        # bf16-split weight mantissa
+        # incoherent sum on the native layout, exact vs wire
+        inc_n = np.asarray(ops.incoherent_sum_native(qn))
+        inc_w = np.asarray(ops.incoherent_sum(jnp.asarray(x)))
+        np.testing.assert_allclose(inc_n, inc_w, rtol=1e-6)
+
+    def test_native_layout_beamform_fallback_small_shape(self):
+        """Shapes the native kernel can't tile decode to wire and take
+        the normal path (bitwise vs doing the decode by hand)."""
+        rng = np.random.default_rng(58)
+        a, p, m2, b, k1n, nb = 2, 2, 2, 4, 8, 2
+        k = m2 * k1n
+        qn = jnp.asarray(rng.integers(-50, 50, (a, p, m2, 2, b, k1n),
+                                      dtype=np.int8))
+        w = jnp.asarray(rng.normal(size=(nb, a, k, 2)).astype(np.float32))
+        got = np.asarray(ops.beamform_native(qn, w, impl="jnp"))
+        x = np.asarray(qn).transpose(0, 1, 4, 5, 2, 3).reshape(
+            a, p, b, k, 2)
+        ref = np.asarray(ops.beamform(jnp.asarray(x), w, impl="jnp"))
+        np.testing.assert_array_equal(got, ref)
+
     def test_float_input_stays_on_einsum(self):
         """Non-int8 inputs (not exact in bf16) keep the fp32 path."""
         rng = np.random.default_rng(56)
