@@ -130,6 +130,39 @@ class TestRunnerFX:
 
         np.testing.assert_array_equal(dumps_a[1].vis, dumps_b[0].vis)
 
+    def test_checkpoint_resume_frames_io(self, tmp_path):
+        """Resume under the frames-I/O convention (fused step: history
+        carried as (A*P, taps_pad, M) frames): bitwise-identical dumps
+        across the save/load boundary, and a samples-convention
+        checkpoint is refused with a clear error."""
+        cfg = _cfg(n_chans=512, n_taps=4, spectra_per_chunk=8,
+                   n_spectra_per_acc=16)
+        dm = DelayModel.zeros(cfg.n_ants, cfg.n_pols)
+        stream = _make_stream(cfg, 4, seed=21)
+        w = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
+        src = _source(stream, cfg)
+
+        straight = FXRunner(cfg, w, delay_model=dm,
+                            impl="fused_interpret")
+        assert straight._frames_io
+        dumps_a, _ = straight.run(src, 4)
+
+        first = FXRunner(cfg, w, delay_model=dm, impl="fused_interpret")
+        first.run(src, 2)
+        ckpt = str(tmp_path / "state.npz")
+        save_state(first, ckpt)
+
+        resumed = FXRunner(cfg, w, delay_model=dm,
+                           impl="fused_interpret")
+        load_state(resumed, ckpt)
+        dumps_b, _ = resumed.run(src, 2)
+        np.testing.assert_array_equal(dumps_a[1].vis, dumps_b[0].vis)
+
+        # cross-convention load (jnp runner carries sample-axis history)
+        other = FXRunner(cfg, w, delay_model=dm, impl="jnp")
+        with pytest.raises(ValueError, match="history shape"):
+            load_state(other, ckpt)
+
     def test_checkpoint_resume_with_drifting_delay(self, tmp_path):
         """Resume across a checkpoint with a DRIFTING delay model
         (d1 != 0, coarse delay changes mid-stream): the checkpoint must
