@@ -73,28 +73,45 @@ def bench_xcorr(n_ants: int = 64, n_pols: int = 2, n_chans: int = 4096,
 
 def bench_beamform(n_beams: int = 16, n_ants: int = 64, n_pols: int = 2,
                    n_chans: int = 4096, n_spectra: int = 64,
-                   iters: int = 128) -> BenchResult:
-    """Coherent beamformer throughput (C10)."""
+                   iters: int = 128,
+                   layout: str = "wire") -> BenchResult:
+    """Coherent beamformer throughput (C10).
+
+    ``layout="native"`` benches :func:`ops.beamform_native` on the fused
+    F-engine's plane layout (the production beam-mode path: MXU
+    identity-dot relayout in VMEM, no input transpose through HBM).
+    """
+    from dc_sand_tpu.ops.fengine_fused import native_factor
     rng = np.random.default_rng(0)
-    q = jax.block_until_ready(jax.jit(
-        lambda: (jax.random.normal(
-            jax.random.key(0),
-            (n_ants, n_pols, n_spectra, n_chans, 2)) * 30)
-        .astype(jnp.int8))())
+    if layout == "native":
+        m2, k1n = native_factor(n_chans)
+        q = jax.block_until_ready(jax.jit(
+            lambda: (jax.random.normal(
+                jax.random.key(0),
+                (n_ants, n_pols, m2, 2, n_spectra, k1n)) * 30)
+            .astype(jnp.int8))())
+        fn = ops.beamform_native
+    else:
+        q = jax.block_until_ready(jax.jit(
+            lambda: (jax.random.normal(
+                jax.random.key(0),
+                (n_ants, n_pols, n_spectra, n_chans, 2)) * 30)
+            .astype(jnp.int8))())
+        fn = ops.beamform
     w = jax.block_until_ready(jax.jit(
         lambda: jax.random.normal(jax.random.key(1),
                                   (n_beams, n_ants, n_chans, 2),
                                   jnp.float32))())
-    wall = time_throughput(ops.beamform, (q, w), iters=iters)
+    wall = time_throughput(fn, (q, w), iters=iters)
     flops = 4 * 2 * n_beams * n_ants * n_pols * n_spectra * n_chans
     in_bytes = q.size + w.size * 4
     out_bytes = n_beams * n_pols * n_spectra * n_chans * 2 * 4
     return BenchResult(
-        name="beamform",
+        name="beamform" + ("_native" if layout == "native" else ""),
         metric="beamformed samples/s",
         value=n_beams * n_pols * n_spectra * n_chans / wall,
         unit="beam-samples/s", wall_s=wall,
         bytes_moved=in_bytes + out_bytes,
         extra={"fp32_gflops": flops / wall / 1e9, "n_beams": n_beams,
-               "n_ants": n_ants, "n_chans": n_chans},
+               "n_ants": n_ants, "n_chans": n_chans, "layout": layout},
     ).finish()
