@@ -15,7 +15,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["NativeIngest", "load_library", "unpack_10bit"]
+__all__ = ["NativeIngest", "load_library", "unpack_10bit",
+           "multi_ingest_source"]
 
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "csrc")
@@ -77,6 +78,52 @@ def unpack_10bit(packed: bytes, n_samples: int) -> np.ndarray:
                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
                      n_samples)
     return out
+
+
+def multi_ingest_source(ingests, cfg=None, force: bool = True):
+    """Runner ``source`` over N assemblers sharding the antenna axis —
+    the production layout (one :class:`NativeIngest` per NIC queue /
+    antenna group, each fed from its own receiver thread), with coarse
+    delay placed at the packet boundary (``set_delay``).
+
+    Each call retires one chunk VIEW per assembler (zero-copy),
+    transfers each view to the device, and concatenates along the
+    leading axis THERE — the full chunk is never materialised on the
+    host, so the host-side cost stays at N slot-buffer transfers.  The
+    previous call's slots are released first (the transfer is
+    synchronous, so the device owns the bytes by then).
+
+    With ``cfg`` given and the runner in frames I/O (the fused fast
+    path), each part is reshaped to frame form ``(Aw*P, B, M)`` on the
+    HOST (a free view) before transfer, so the device-side concat
+    already has the kernel's layout and the runner's reshape is an
+    identity — no device relayout.
+    """
+    import jax.numpy as jnp
+
+    frames = None
+    if cfg is not None:
+        from dc_sand_tpu.models.pipeline import uses_frames_io
+        if uses_frames_io(cfg):
+            frames = (cfg.spectra_per_chunk, 2 * cfg.n_chans)
+
+    def source(_chunk_idx: int):
+        parts = []
+        for ing in ingests:
+            ing.release()
+            view, _fill = ing.retire_view(force=force)
+            if view is None:
+                raise RuntimeError(
+                    "multi_ingest_source(force=False): a worker's tail "
+                    "chunk is incomplete")
+            if frames is not None:
+                aw, p, _t = view.shape
+                view = view.reshape(aw * p, *frames)
+            parts.append(jnp.asarray(view))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                axis=0)
+
+    return source
 
 
 class NativeIngest:

@@ -182,9 +182,12 @@ class FXRunner:
             if self._frames_io:
                 # (A, P, T) -> (A*P, B, M): a free row-major view; the
                 # device array then has exactly the layout the fused
-                # kernel's chunk ref wants
-                chunk = np.asarray(chunk).reshape(
-                    cfg.n_ants * cfg.n_pols, b, 2 * cfg.n_chans)
+                # kernel's chunk ref wants.  Device-resident chunks
+                # (e.g. a multi-ingest gather assembled on device)
+                # reshape in place — never bounce through the host.
+                shp = (cfg.n_ants * cfg.n_pols, b, 2 * cfg.n_chans)
+                chunk = (chunk.reshape(shp) if isinstance(chunk, jax.Array)
+                         else np.asarray(chunk).reshape(shp))
             self.history, self.vis_acc, outputs = self._step(
                 self.history, self.vis_acc, jnp.asarray(chunk),
                 jnp.asarray(coarse), jnp.asarray(frac),

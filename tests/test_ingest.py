@@ -214,6 +214,44 @@ class TestAssembler:
         assert counters.dumps == n_chunks
         assert np.any(dumps[0].vis != 0)
 
+    def test_multi_ingest_source_matches_single(self):
+        """Antenna-sharded assemblers (one per NIC queue) gathered by
+        multi_ingest_source produce the same runner dumps as one
+        assembler holding all antennas."""
+        from dc_sand_tpu.config import ChainConfig
+        from dc_sand_tpu.runtime import FXRunner
+        from dc_sand_tpu.runtime.ingest import multi_ingest_source
+        from dc_sand_tpu.windows import pfb_window
+        cfg = ChainConfig(name="t", n_ants=4, n_pols=1, n_chans=32,
+                          n_taps=4, spectra_per_chunk=4,
+                          n_spectra_per_acc=4, run_xengine=True,
+                          apply_requant=True)
+        rng = np.random.default_rng(6)
+        n_chunks = 2
+        c = cfg.chunk_samples
+        data = rng.integers(-100, 100, (4, 1, n_chunks * c),
+                            dtype=np.int8)
+        # two workers x two antennas; feed everything up front (packets
+        # for both chunks fit the 4-slot ring)
+        workers = [NativeIngest(2, 1, c) for _ in range(2)]
+        for w, ing in enumerate(workers):
+            for ai in range(2):
+                for i in range(n_chunks):
+                    ing.submit(ai, 0, i * c,
+                               data[2 * w + ai, 0,
+                                    i * c:(i + 1) * c].tobytes())
+        src = multi_ingest_source(workers, cfg)
+        r1 = FXRunner(cfg, pfb_window(4, 64), impl="jnp")
+        dumps_m, _ = r1.run(src, n_chunks)
+
+        def single(i):
+            return data[:, :, i * c:(i + 1) * c]
+
+        r2 = FXRunner(cfg, pfb_window(4, 64), impl="jnp")
+        dumps_s, _ = r2.run(single, n_chunks)
+        for dm, ds in zip(dumps_m, dumps_s):
+            np.testing.assert_array_equal(dm.vis, ds.vis)
+
 
 class TestIngestDelay:
     def test_delay_matches_host_reference(self):
