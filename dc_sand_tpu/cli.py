@@ -159,7 +159,9 @@ def _run_bench(args) -> int:
         results.append(bench_xcorr(n_chans=args.scale or 4096))
     elif args.target == "beamform":
         from dc_sand_tpu.bench.kernels import bench_beamform
-        results.append(bench_beamform(n_chans=args.scale or 4096))
+        for layout in ("native", "wire"):
+            results.append(bench_beamform(n_chans=args.scale or 4096,
+                                          layout=layout))
     elif args.target == "membench":
         from dc_sand_tpu.bench.membench import (bench_membench, bench_h2d,
                                                  PATTERNS)
@@ -169,6 +171,10 @@ def _run_bench(args) -> int:
     elif args.target == "ingest":
         from dc_sand_tpu.bench.ingest_bench import (bench_ingest_host,
                                                     bench_ingest_runner)
+        results.append(bench_ingest_host(delay_in_ingest=True,
+                                         zero_copy=True, n_workers=4))
+        results.append(bench_ingest_host(delay_in_ingest=True,
+                                         zero_copy=True))
         results.append(bench_ingest_host(delay_in_ingest=True))
         results.append(bench_ingest_host(delay_in_ingest=False))
         results.append(bench_ingest_runner())
