@@ -29,14 +29,32 @@ def bench_xcorr(n_ants: int = 64, n_pols: int = 2, n_chans: int = 4096,
     ``mode="accumulate"`` measures the streaming path the FX step
     actually runs — the Pallas in-place block-accumulator CMAC
     (ops.xcorr_accumulate), accumulator traffic included;
-    ``mode="extract"`` is the legacy per-chunk extract+gather form."""
+    ``mode="native"`` the fused relayout+CMAC kernel consuming the
+    F-engine's plane layout (ops.xcorr_accumulate_native — what the
+    production fx step dispatches); ``mode="extract"`` is the legacy
+    per-chunk extract+gather form."""
     ap = n_ants * n_pols
-    q = jax.block_until_ready(jax.jit(
-        lambda: (jax.random.normal(
-            jax.random.key(0),
-            (n_chans, n_ants, n_pols, n_spectra, 2)) * 30)
-        .astype(jnp.int8))())
-    if mode == "accumulate":
+    if mode == "native":
+        from dc_sand_tpu.ops.fengine_fused import native_factor
+        m2, k1n = native_factor(n_chans)
+        qn = jax.block_until_ready(jax.jit(
+            lambda: (jax.random.normal(
+                jax.random.key(0),
+                (n_ants, n_pols, m2, 2, n_spectra, k1n)) * 30)
+            .astype(jnp.int8))())
+        acc = jax.block_until_ready(
+            jnp.zeros(ops.acc_shape(n_ants, n_pols, n_chans), jnp.int32))
+        wall = time_throughput(
+            lambda q_, a_: ops.xcorr_accumulate_native(a_, q_),
+            (qn, acc), iters=iters)
+        acc_bytes = 2 * acc.size * 4
+        q = qn
+    elif mode == "accumulate":
+        q = jax.block_until_ready(jax.jit(
+            lambda: (jax.random.normal(
+                jax.random.key(0),
+                (n_chans, n_ants, n_pols, n_spectra, 2)) * 30)
+            .astype(jnp.int8))())
         acc = jax.block_until_ready(
             jnp.zeros(ops.acc_shape(n_ants, n_pols, n_chans), jnp.int32))
         # acc rides as a real argument: a closed-over array would be
@@ -46,6 +64,11 @@ def bench_xcorr(n_ants: int = 64, n_pols: int = 2, n_chans: int = 4096,
             iters=iters)
         acc_bytes = 2 * acc.size * 4          # read + write per chunk
     else:
+        q = jax.block_until_ready(jax.jit(
+            lambda: (jax.random.normal(
+                jax.random.key(0),
+                (n_chans, n_ants, n_pols, n_spectra, 2)) * 30)
+            .astype(jnp.int8))())
         wall = time_throughput(ops.xcorr, (q,), iters=iters)
         acc_bytes = 0
     n_bl = len(baseline_pairs(n_ants))
@@ -54,7 +77,7 @@ def bench_xcorr(n_ants: int = 64, n_pols: int = 2, n_chans: int = 4096,
     cmacs = n_chans * ap * ap * n_spectra
     kept_cmacs = n_chans * n_bl * 4 * n_spectra
     in_bytes = q.size
-    out_bytes = (acc_bytes if mode == "accumulate"
+    out_bytes = (acc_bytes if acc_bytes
                  else n_bl * n_pols * n_pols * n_chans * 2 * 4)
     return BenchResult(
         name=f"xcorr_cmac_{mode}",

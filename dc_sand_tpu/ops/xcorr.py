@@ -241,7 +241,13 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
         a2 = qn.transpose(2, 5, 3, 0, 1, 4).reshape(
             m2 * k1n, 2 * ap, b)
         return xcorr_accumulate_a2(acc, a2, impl=impl)
-    kg = k1n // 4
+    # k1-group size: kg*b bounds the fp32 relayout temporary (kg, 2,
+    # ap, b) and the per-group acc/out blocks; scale it down for long
+    # integration tiles so the kernel stays inside scoped VMEM (b=512
+    # at kg=k1n//4 measured 118.76 MB > the 100 MB limit)
+    kg = max(1, min(k1n // 4, (k1n // 4) * 256 // b))
+    while k1n % kg:
+        kg -= 1
     qn2 = qn.reshape(ap, m2, 2, b, k1n)
     eye = jnp.asarray(np.eye(k1n, dtype=np.float32), jnp.bfloat16)
     acc4 = acc.reshape(m2, k1n, 2 * ap, 2 * ap)
