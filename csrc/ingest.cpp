@@ -253,15 +253,18 @@ int submit_locked(Ingest* ig, int ant, int pol, uint64_t timestamp,
   } else {
     samples = reinterpret_cast<const int8_t*>(payload);
   }
+  bool any_placed = false, any_dropped = false;
   for (uint64_t c = std::max(first_chunk, ig->window_tail_chunk);
        c <= last_chunk && c < ig->window_tail_chunk + ig->n_slots; ++c) {
     if (ig->borrowed_chunk >= 0 &&
         c % ig->n_slots == uint64_t(ig->borrowed_chunk) % ig->n_slots) {
       // the ring wrapped onto a slot still lent out by retire_view —
-      // the consumer is too slow; count and drop rather than corrupt
-      ig->packets_bad++;
+      // the consumer is too slow; drop rather than corrupt (counted
+      // once per packet below, not per chunk segment)
+      any_dropped = true;
       continue;
     }
+    any_placed = true;
     ChunkSlot& slot = ig->slot_for(c);
     if (!slot.in_window) {
       slot.start_sample = c * ig->chunk_samples;
@@ -281,7 +284,11 @@ int submit_locked(Ingest* ig, int ant, int pol, uint64_t timestamp,
                 s1 - s0);
     slot.filled_bytes += slot.mark(off, s1 - s0);
   }
-  ig->packets_ok++;
+  if (any_dropped && !any_placed) {
+    ig->packets_bad++;   // wholly discarded (borrowed-slot wrap)
+    return -3;
+  }
+  ig->packets_ok++;      // placed (at least partially)
   return 0;
 }
 

@@ -111,7 +111,6 @@ def bench_ingest_host(n_ants: int = 64, n_pols: int = 2,
                              packet_samples)
             if zero_copy:
                 chunk, _fill = ing.retire_view(force=True)
-                ing.release()
             else:
                 chunk, _fill = ing.retire(force=True)
             if not delay_in_ingest:
@@ -124,6 +123,10 @@ def bench_ingest_host(n_ants: int = 64, n_pols: int = 2,
                 chunk = np.ascontiguousarray(
                     np.take_along_axis(win, sel, axis=2)[..., 0, :])
                 host_tail = buf[..., -max_delay:]
+            if zero_copy:
+                # release only AFTER the view's last read (the gather
+                # path above copies out of the slot)
+                ing.release()
 
     # warm: one pass over every ring slot (page first-touch); the timed
     # pass continues the SAME timestamp stream so nothing is late
@@ -145,7 +148,12 @@ def bench_ingest_host(n_ants: int = 64, n_pols: int = 2,
     wall = time.perf_counter() - t0
     samples = a * p * c_samp * n_chunks
     rate = samples / wall
-    stats = workers[0][0].stats()
+    # aggregate over ALL workers: a late-drop in any of them means the
+    # measured rate skipped that worker's placement memcpys
+    stats = {}
+    for ing, _b in workers:
+        for k, v in ing.stats().items():
+            stats[k] = stats.get(k, 0) + v
     if stats.get("packets_late"):
         raise RuntimeError(
             f"ingest bench submitted late packets ({stats}); the "
@@ -200,14 +208,19 @@ def bench_ingest_runner(n_ants: int = 16, n_pols: int = 2,
     runner = FXRunner(cfg, window, delay_model=rdm, impl="auto")
 
     def source(i):
-        # zero-copy feed: the previous chunk's slot was consumed by the
-        # runner's (synchronous) host->device transfer inside run(), so
-        # it can go back to the ring before borrowing the next one
-        ing.release()
+        # zero-copy feed: transfer the view to the device HERE (and
+        # block — jnp.asarray may copy asynchronously) so the slot can
+        # return to the ring before the next burst; the runner accepts
+        # device-resident chunks directly
         ants, pols, tss, payload = bursts[i % n_chunks]
         ing.submit_burst(ants, pols, tss + np.uint64(i * c_samp),
                          payload, packet_samples)
-        return ing.retire_view(force=True)[0]
+        import jax
+        import jax.numpy as jnp
+        view = ing.retire_view(force=True)[0]
+        chunk = jax.block_until_ready(jnp.asarray(view))
+        ing.release()
+        return chunk
 
     # warm through a FULL dump cadence: the first dump compiles and
     # first-executes the extraction program, and this box's backend

@@ -95,7 +95,7 @@ def bench_xcorr(n_ants: int = 64, n_pols: int = 2, n_chans: int = 4096,
 
 
 def bench_beamform(n_beams: int = 16, n_ants: int = 64, n_pols: int = 2,
-                   n_chans: int = 4096, n_spectra: int = 64,
+                   n_chans: int = 4096, n_spectra: int = None,
                    iters: int = 128,
                    layout: str = "wire") -> BenchResult:
     """Coherent beamformer throughput (C10).
@@ -103,11 +103,21 @@ def bench_beamform(n_beams: int = 16, n_ants: int = 64, n_pols: int = 2,
     ``layout="native"`` benches :func:`ops.beamform_native` on the fused
     F-engine's plane layout (the production beam-mode path: MXU
     identity-dot relayout in VMEM, no input transpose through HBM).
+    The native default n_spectra is 256 (the production chunk tile AND
+    the kernel's b % 128 gate — a smaller b silently measures the XLA
+    decode fallback instead of the Pallas kernel).
     """
     from dc_sand_tpu.ops.fengine_fused import native_factor
     rng = np.random.default_rng(0)
+    if n_spectra is None:
+        n_spectra = 256 if layout == "native" else 64
     if layout == "native":
         m2, k1n = native_factor(n_chans)
+        if n_spectra % 128:
+            raise ValueError(
+                f"native layout needs n_spectra % 128 == 0 (got "
+                f"{n_spectra}) — smaller tiles fall back to the XLA "
+                "decode path and would not measure the kernel")
         q = jax.block_until_ready(jax.jit(
             lambda: (jax.random.normal(
                 jax.random.key(0),

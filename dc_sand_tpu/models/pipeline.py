@@ -84,8 +84,8 @@ def uses_frames_io(cfg: ChainConfig, impl: str = "auto",
     ``np.reshape`` — the ingest ring's (A, P, T) layout IS (A*P, B, M)
     row-major, so the feed path cost is zero).
     """
-    from dc_sand_tpu.ops.fengine_fused import fused_native_ok
-    taps_pad = _round_up8(cfg.n_taps)
+    from dc_sand_tpu.ops.fengine_fused import fused_native_ok, _round_up
+    taps_pad = _round_up(cfg.n_taps, 8)
     return (cfg.time_shards == 1
             and max_delay == 0
             and (coarse_on_host or not cfg.apply_delay)
@@ -95,15 +95,12 @@ def uses_frames_io(cfg: ChainConfig, impl: str = "auto",
             and cfg.spectra_per_chunk >= taps_pad)
 
 
-def _round_up8(x: int) -> int:
-    return -(-x // 8) * 8
-
-
 def history_shape(cfg: ChainConfig, max_delay: int = 0,
                   frames_io: bool = False):
     """Shape of the carried history for ``make_step``'s convention."""
     if frames_io:
-        return (cfg.n_ants * cfg.n_pols, _round_up8(cfg.n_taps),
+        from dc_sand_tpu.ops.fengine_fused import _round_up
+        return (cfg.n_ants * cfg.n_pols, _round_up(cfg.n_taps, 8),
                 2 * cfg.n_chans)
     return (cfg.n_ants, cfg.n_pols, history_len(cfg, max_delay))
 

@@ -80,7 +80,8 @@ def unpack_10bit(packed: bytes, n_samples: int) -> np.ndarray:
     return out
 
 
-def multi_ingest_source(ingests, cfg=None, force: bool = True):
+def multi_ingest_source(ingests, cfg=None, force: bool = True,
+                        frames_io: bool = None):
     """Runner ``source`` over N assemblers sharding the antenna axis —
     the production layout (one :class:`NativeIngest` per NIC queue /
     antenna group, each fed from its own receiver thread), with coarse
@@ -97,20 +98,24 @@ def multi_ingest_source(ingests, cfg=None, force: bool = True):
     path), each part is reshaped to frame form ``(Aw*P, B, M)`` on the
     HOST (a free view) before transfer, so the device-side concat
     already has the kernel's layout and the runner's reshape is an
-    identity — no device relayout.
+    identity — no device relayout.  ``frames_io`` overrides the
+    convention when the consuming runner was built with a non-default
+    impl/delay mode (it must equal the runner's ``_frames_io``).
     """
+    import jax
     import jax.numpy as jnp
 
     frames = None
     if cfg is not None:
-        from dc_sand_tpu.models.pipeline import uses_frames_io
-        if uses_frames_io(cfg):
+        if frames_io is None:
+            from dc_sand_tpu.models.pipeline import uses_frames_io
+            frames_io = uses_frames_io(cfg)
+        if frames_io:
             frames = (cfg.spectra_per_chunk, 2 * cfg.n_chans)
 
     def source(_chunk_idx: int):
         parts = []
         for ing in ingests:
-            ing.release()
             view, _fill = ing.retire_view(force=force)
             if view is None:
                 raise RuntimeError(
@@ -120,6 +125,12 @@ def multi_ingest_source(ingests, cfg=None, force: bool = True):
                 aw, p, _t = view.shape
                 view = view.reshape(aw * p, *frames)
             parts.append(jnp.asarray(view))
+        # the transfers MUST complete before the slots return to the
+        # ring: jnp.asarray may copy asynchronously, and a released
+        # slot can be overwritten by the receiver threads immediately
+        jax.block_until_ready(parts)
+        for ing in ingests:
+            ing.release()
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
                                                                 axis=0)
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dc_sand_tpu.config import ChainConfig
-from dc_sand_tpu.models.pipeline import make_step, history_len, mode_for
+from dc_sand_tpu.models.pipeline import make_step, mode_for
 from dc_sand_tpu.runtime.delays import DelayModel
 
 logger = logging.getLogger("dc_sand_tpu.runner")
