@@ -14,6 +14,10 @@ import sys
 
 
 def _add_common(p):
+    p.add_argument("--stage2", default=None,
+                   choices=["bf16x3", "int16", "fp32"],
+                   help="fused-kernel stage-2 precision override "
+                        "(default: the kernel's bf16x3)")
     p.add_argument("--impl", default="auto",
                    choices=["auto", "jnp", "pallas", "pallas_interpret"])
     p.add_argument("--scale", type=int, default=None,
@@ -50,7 +54,7 @@ def cmd_verify(args) -> int:
                   baseline_subset=128)
     snrs = verify_config(args.config, scale=args.scale, mesh=mesh,
                          impl=args.impl, time_shards=args.time_shards,
-                         **kw)
+                         stage2=args.stage2, **kw)
     counters = snrs.pop("_counters", None)
     ok = all(v > SNR_BOUND for v in snrs.values())
     for stage, v in snrs.items():
@@ -94,6 +98,8 @@ def cmd_run(args) -> int:
     cfg = get_config(args.config)
     if args.scale:
         cfg = scaled_for_test(cfg, n_chans=args.scale)
+    if args.stage2:
+        cfg = cfg.replace(stage2=args.stage2)
     if args.time_shards > 1:
         cfg = cfg.replace(time_shards=args.time_shards)
     mesh = None

@@ -86,6 +86,12 @@ class ChainConfig:
 
     # Quantisation.
     quant_scale: float = 1.0  # default per-channel EQ gain magnitude
+    # Fused-kernel stage-2 matmul-DFT precision: None = the kernel
+    # default (bf16x3: hi/lo-split bf16, 3 MXU passes, fp32 accum,
+    # 73+ dB quantized end-to-end); "int16" trades ~10 dB of margin for
+    # ~2x stage-2 rate (per-row int8 hi/lo split, 60 dB quantized);
+    # "fp32" is exact-mode (HIGHEST) for verification studies.
+    stage2: str = None
 
     # Sharding intent (used by models/parallel when a mesh is supplied).
     shard_ants: bool = False

@@ -211,6 +211,7 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
                 phase=(phase.reshape(s_l, b_l)
                        if cfg.apply_delay else None),
                 gains=gains if quantized else None, impl=impl,
+                stage2=cfg.stage2,
                 layout="native" if native else "wire")
             # back to (a, p, ...) leading dims for the shared fx/beam
             # tail below (a free leading-axis split)
@@ -225,6 +226,7 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
                          frac_delay=frac if cfg.apply_delay else None,
                          phase=phase if cfg.apply_delay else None,
                          gains=gains if quantized else None, impl=impl,
+                         stage2=cfg.stage2,
                          layout="native" if native else "wire")
             new_history = buf[..., chunk.shape[-1]:]
         outputs = {}
@@ -358,7 +360,8 @@ def _make_sp_step(cfg: ChainConfig, window, *, mesh, impl: str,
         q = f_engine(xh, window, taps, n_chans,
                      frac_delay=frac if cfg.apply_delay else None,
                      phase=phase if cfg.apply_delay else None,
-                     gains=gains if quantized else None, impl=impl)
+                     gains=gains if quantized else None, impl=impl,
+                     stage2=cfg.stage2)
         # shard 0 received shard n-1's tail = the next chunk's carry;
         # other shards park zeros in their (dead) carry block
         new_history = jnp.where(idx == 0, halo_in,

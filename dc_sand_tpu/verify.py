@@ -73,6 +73,7 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
                   spectra_per_chunk: Optional[int] = 16,
                   n_spectra_per_acc: Optional[int] = 32,
                   time_shards: int = 1,
+                  stage2: Optional[str] = None,
                   baseline_subset: Optional[int] = None) -> Dict[str, float]:
     """Run config ``name`` end-to-end and return per-output SNRs vs golden.
 
@@ -89,6 +90,8 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
     computes everything.
     """
     cfg = get_config(name)
+    if stage2 is not None:
+        cfg = cfg.replace(stage2=stage2)
     if scale is not None:
         cfg = scaled_for_test(cfg, n_chans=scale)
     if spectra_per_chunk is not None:
