@@ -323,6 +323,37 @@ class TestRunnerFEngine:
         inc_g = golden.incoherent_sum(spec_g[:, :, B_CHUNK:])
         assert snr_db(inc_g, outs[1]["incoherent"]) > 50
 
+    def test_beam_mode_fused_native_path_matches_golden(self):
+        """The PRODUCTION beam path end-to-end through the runner:
+        frames I/O + fused F-engine + beamform_native (MXU identity-dot
+        relayout) + incoherent_sum_native, vs the float64 golden chain.
+        Uses a kernel-eligible shape (B=128 spectra) so the native
+        Pallas kernel actually runs (interpret mode)."""
+        from dc_sand_tpu.models.pipeline import mode_for
+        cfg = ChainConfig(name="t", n_ants=4, n_pols=2, n_chans=512,
+                          n_taps=4, spectra_per_chunk=128,
+                          apply_delay=True, apply_requant=True,
+                          n_beams=2, incoherent_beam=True)
+        assert mode_for(cfg) == "beam"
+        rng = np.random.default_rng(17)
+        wts = rng.normal(size=(2, 4, 512, 2)).astype(np.float32)
+        stream = _make_stream(cfg, 2, seed=18)
+        w = pfb_window(cfg.n_taps, cfg.fft_size)
+        outs = []
+        r = FXRunner(cfg, w, weights=wts, impl="fused_interpret")
+        assert r._frames_io
+        r.run(_source(stream, cfg), 2,
+              on_output=lambda i, o: outs.append(o))
+        b = cfg.spectra_per_chunk
+        spec_g = _golden_chain(
+            cfg, stream, DelayModel.zeros(cfg.n_ants, cfg.n_pols),
+            np.full(cfg.n_chans, cfg.quant_scale) + 0j, 2)
+        wg = wts[..., 0] + 1j * wts[..., 1]
+        beams_g = golden.beamform(spec_g[:, :, b:], wg)
+        assert snr_db(beams_g, np_ri2c(outs[1]["beams"])) > 50
+        inc_g = golden.incoherent_sum(spec_g[:, :, b:])
+        assert snr_db(inc_g, outs[1]["incoherent"]) > 50
+
 
 class TestSteering:
     def test_steering_weights_cohere_through_beamformer(self):
