@@ -5,9 +5,11 @@ each benchmark under ``bench/results/`` against the previous one and
 flags drops beyond tolerance.  Results files are written per run by
 ``BenchResult.save`` keyed by commit + timestamp.
 
-Comparisons are keyed on ``(name, platform)``: a CPU-mesh harness
-validation run (e.g. the scaling sweep on the virtual device mesh) must
-never gate — or be gated by — real-chip numbers of the same benchmark.
+Comparisons are keyed on ``(name, platform, shape)``: a CPU-mesh
+harness validation run must never gate — or be gated by — real-chip
+numbers, and a benchmark re-run at a different problem shape (channel
+count, spectra tile, worker count, ...) starts its own series instead
+of reading as a spurious regression against the old shape.
 """
 
 from __future__ import annotations
@@ -20,10 +22,22 @@ from collections import defaultdict
 
 TOLERANCE = 0.10  # flag >10% throughput drop
 
+# extra-dict keys that define the measured problem's SHAPE: same-name
+# records differing in any of these are different experiments
+_SHAPE_KEYS = ("n_chans", "n_spectra", "n_ants", "n_streams", "n_beams",
+               "n_workers", "spectra", "taps", "stage2", "impl", "mode",
+               "layout", "delay_in_ingest", "packet_samples")
+
 
 def _platform_of(rec: dict) -> str:
     extra = rec.get("extra") or {}
     return str(extra.get("platform") or extra.get("chip") or "unknown")
+
+
+def _shape_of(rec: dict) -> str:
+    extra = rec.get("extra") or {}
+    parts = [f"{k}={extra[k]}" for k in _SHAPE_KEYS if k in extra]
+    return ",".join(parts)
 
 
 def load_results(results_dir: str = "bench/results"):
@@ -33,7 +47,8 @@ def load_results(results_dir: str = "bench/results"):
             with open(path) as f:
                 rec = json.loads(f.readline())
             ts = int(path.rsplit("_", 1)[1].split(".")[0])
-            by_key[(rec["name"], _platform_of(rec))].append((ts, rec, path))
+            by_key[(rec["name"], _platform_of(rec),
+                    _shape_of(rec))].append((ts, rec, path))
         except (ValueError, KeyError, IndexError):
             continue
     for key in by_key:
@@ -47,9 +62,9 @@ def main(results_dir: str = "bench/results") -> int:
         print(f"no results under {results_dir}")
         return 0
     failed = False
-    for (name, platform), runs in sorted(by_key.items()):
+    for (name, platform, shape), runs in sorted(by_key.items()):
         _, latest, _ = runs[-1]
-        label = f"{name} [{platform}]"
+        label = f"{name} [{platform}]" + (f" ({shape})" if shape else "")
         if len(runs) < 2:
             print(f"{label}: {latest['value']:.4g} {latest['unit']} "
                   "(first recording)")
