@@ -100,6 +100,7 @@ def f_engine(x: jax.Array, window: jax.Array, taps: int, n_chans: int, *,
                                  history=history, frac_delay=fd,
                                  phase=ph, gains=g, stage2=stage2,
                                  layout=layout,
+                                 strict=(impl == "fused"),
                                  interpret=(impl == "fused_interpret"))
         impl = "jnp"
     if history is not None:

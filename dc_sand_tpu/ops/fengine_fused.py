@@ -616,6 +616,7 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
                   frac_delay=None, phase=None, gains=None,
                   stage2: str = None, m1: int = None, tb: int = None,
                   groups: int = None, layout: str = "wire",
+                  strict: bool = False,
                   interpret: bool = False, _ablate: str = None):
     """Fused F-engine.  ``x: (..., T)`` int8; returns ``(..., B, K, 2)``
     int8 (with ``gains``) or float32 (without).
@@ -651,7 +652,7 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
         return _fused_split(x, history, window, taps, n_chans,
                             frac_delay=frac_delay, phase=phase,
                             gains=gains, stage2=stage2, m1=m1, tb=tb,
-                            groups=groups, layout=layout,
+                            groups=groups, layout=layout, strict=strict,
                             interpret=interpret, _ablate=_ablate)
     t_len = x.shape[-1]
     if t_len % m:
@@ -676,6 +677,13 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
     quantized = gains is not None
     if (tb == 0 or m % 128 or taps < 2 or m2 == 0 or m2 % groups
             or b_out % tb or tb < taps_pad):
+        if strict:
+            # production pins impl="fused": an untileable config must
+            # fail loudly, not silently run the ~3x-slower unfused path
+            raise ValueError(
+                f"fused kernel cannot tile n_chans={n_chans}, "
+                f"taps={taps}, b_out={b_out} (tb={tb}, m2={m2}); "
+                "remove strict/impl='fused' to allow the fallback")
         # fall back to the unfused path
         res = _fallback(x, window, taps, n_chans, frac_delay=frac_delay,
                         phase=phase, gains=gains)
@@ -719,7 +727,7 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
 def _fused_split(x, history, window, taps: int, n_chans: int, *,
                  frac_delay=None, phase=None, gains=None, stage2=None,
                  m1=None, tb=None, groups=None, layout="wire",
-                 interpret=False, _ablate=None):
+                 strict=False, interpret=False, _ablate=None):
     """Split-I/O fused F-engine: chunk ``x (..., B, M)`` + carried
     history ``(..., taps_pad, M)`` as separate kernel refs (no concat,
     no input relayout — see :func:`fengine_fused` docstring)."""
@@ -756,8 +764,8 @@ def _fused_split(x, history, window, taps: int, n_chans: int, *,
         return fengine_fused(
             full.reshape(lead + (-1,)), window, taps, n_chans,
             frac_delay=frac_delay, phase=phase, gains=gains,
-            stage2=stage2, m1=m1, layout=layout, interpret=interpret,
-            _ablate=_ablate)
+            stage2=stage2, m1=m1, layout=layout, strict=strict,
+            interpret=interpret, _ablate=_ablate)
     return _launch_fused(
         history.reshape(s, taps_pad, m), x.reshape(s, b_out, m), window,
         s=s, lead=lead, b_out=b_out, nb=b_out // tb, tb=tb,

@@ -89,7 +89,7 @@ class TestRegress:
         d = str(tmp_path)
         self._write(d, "k", 300, 3.0)
         self._write(d, "k", 100, 1.0)
-        runs = load_results(d)[("k", "unknown")]
+        runs = load_results(d)[("k", "unknown", "")]
         assert [r[1]["value"] for r in runs] == [1.0, 3.0]
 
     def test_platforms_never_compared(self, tmp_path, capsys):
