@@ -294,6 +294,99 @@ int submit_locked(Ingest* ig, int ant, int pol, uint64_t timestamp,
 
 }  // namespace
 
+// ---------------------------------------------------------------------
+// SPEAD framing (transport parity with the reference's spead2 tier)
+// ---------------------------------------------------------------------
+// Minimal SPEAD-64-48 datagram decoder: the MeerKAT world moves
+// digitiser/F-engine data as SPEAD heaps over UDP multicast, and the
+// reference's ingest experiments consume exactly that (SURVEY.md §2.1
+// "Transport experiments", C15).  This decodes one UDP datagram =
+// one packet of a heap: 8-byte header (magic 0x53, version 4,
+// item-pointer width 8, heap-address width 6, n_items), then n_items
+// big-endian 64-bit item pointers (bit 63 = immediate, bits 62..48 =
+// item ID, bits 47..0 = value / payload offset), then the payload.
+//
+// Item IDs (SPEAD standard): 0x03 = payload offset within the heap.
+// Application IDs are configurable at submit time (MeerKAT convention:
+// 0x1600 = timestamp in ADC sample ticks, stream-ID item carrying
+// ant*n_pols+pol).  Single- and multi-packet heaps both work: the
+// sample index is timestamp + payload_offset-in-samples, which the
+// chunk assembler places like any other packet.
+
+namespace {
+
+inline uint64_t be64(const uint8_t* p) {
+  uint64_t v = 0;
+  for (int i = 0; i < 8; ++i) v = (v << 8) | p[i];
+  return v;
+}
+
+}  // namespace
+
+// Decode + submit one SPEAD datagram.  `ts_id`/`stream_id_item` select
+// the application item IDs for the timestamp and the (ant,pol) stream
+// index (stream = ant * n_pols + pol).  Returns the submit_locked
+// code, or -4 for a malformed/foreign datagram.
+long long ingest_submit_spead(void* h, const uint8_t* data, uint64_t len,
+                              int ts_id, int stream_id_item, int format) {
+  auto* ig = static_cast<Ingest*>(h);
+  if (len < 8 || data[0] != 0x53 || data[1] != 0x04 || data[2] != 0x08 ||
+      data[3] != 0x06) {
+    ig->packets_bad++;
+    return -4;
+  }
+  uint64_t n_items = (uint64_t(data[6]) << 8) | data[7];
+  if (len < 8 + 8 * n_items) {
+    ig->packets_bad++;
+    return -4;
+  }
+  const uint8_t* payload = data + 8 + 8 * n_items;
+  uint64_t payload_len = len - 8 - 8 * n_items;
+  bool have_ts = false, have_stream = false;
+  uint64_t ts = 0, stream = 0, heap_off = 0;
+  for (uint64_t i = 0; i < n_items; ++i) {
+    uint64_t ptr = be64(data + 8 + 8 * i);
+    bool imm = (ptr >> 63) & 1;
+    int id = int((ptr >> 48) & 0x7FFF);
+    uint64_t val = ptr & 0xFFFFFFFFFFFFULL;
+    if (!imm) continue;        // addressed items carry no scalar here
+    if (id == ts_id) { ts = val; have_ts = true; }
+    else if (id == stream_id_item) { stream = val; have_stream = true; }
+    else if (id == 0x03) { heap_off = val; }   // payload offset (bytes)
+  }
+  if (!have_ts || !have_stream || payload_len == 0) {
+    ig->packets_bad++;
+    return -4;
+  }
+  uint64_t n_samples = format == 1 ? payload_len * 8 / 10 : payload_len;
+  uint64_t off_samples = format == 1 ? heap_off * 8 / 10 : heap_off;
+  int ant = int(stream / ig->n_pols);
+  int pol = int(stream % ig->n_pols);
+  std::lock_guard<std::mutex> lock(ig->mu);
+  return submit_locked(ig, ant, pol, ts + off_samples, payload,
+                       n_samples, format);
+}
+
+// Burst form: `n` datagrams stored back to back with per-datagram
+// lengths — the shape a recvmmsg()-style receiver hands over.  One FFI
+// crossing for the whole burst (per-datagram locking, so concurrent
+// retire calls interleave).  Returns packets placed.
+long long ingest_submit_spead_burst(void* h, const uint8_t* data,
+                                    const uint64_t* lens, uint64_t n,
+                                    int ts_id, int stream_id_item,
+                                    int format) {
+  long long ok = 0;
+  uint64_t off = 0;
+  for (uint64_t i = 0; i < n; ++i) {
+    if (ingest_submit_spead(h, data + off, lens[i], ts_id,
+                            stream_id_item, format) == 0) {
+      ++ok;
+    }
+    off += lens[i];
+  }
+  return ok;
+}
+
 // Retire the oldest chunk into `out` (chunk_bytes).  Returns fill
 // fraction in ppm (1e6 = complete) or -1 if, with force=0, the tail
 // chunk is not yet COMPLETE (every byte covered by a packet) — an

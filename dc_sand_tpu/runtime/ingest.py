@@ -57,6 +57,15 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_int8)),
         ctypes.c_int]
     lib.ingest_release.argtypes = [ctypes.c_void_p]
+    lib.ingest_submit_spead.restype = ctypes.c_longlong
+    lib.ingest_submit_spead.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.ingest_submit_spead_burst.restype = ctypes.c_longlong
+    lib.ingest_submit_spead_burst.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.ingest_stats.argtypes = [ctypes.c_void_p] + \
         [ctypes.POINTER(ctypes.c_uint64)] * 3
     lib.ingest_set_delay.restype = ctypes.c_int
@@ -200,6 +209,34 @@ class NativeIngest:
             pols.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             timestamps.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             payloads, samples_per_packet, n, fmt)
+
+    # SPEAD application item IDs (MeerKAT convention for the timestamp;
+    # the stream item carries ant * n_pols + pol)
+    SPEAD_TS_ID = 0x1600
+    SPEAD_STREAM_ID = 0x3101
+
+    def submit_spead(self, datagram: bytes,
+                     ts_id: int = SPEAD_TS_ID,
+                     stream_id: int = SPEAD_STREAM_ID,
+                     fmt: int = FORMAT_INT8) -> int:
+        """Decode + place one SPEAD-64-48 datagram (the reference's
+        spead2 wire format: 8-byte header, BE64 item pointers, payload;
+        multi-packet heaps place via the 0x03 payload-offset item).
+        Returns 0 ok, <0 on late/malformed (see csrc/ingest.cpp)."""
+        return self._lib.ingest_submit_spead(
+            self._h, datagram, len(datagram), ts_id, stream_id, fmt)
+
+    def submit_spead_burst(self, datagrams, ts_id: int = SPEAD_TS_ID,
+                           stream_id: int = SPEAD_STREAM_ID,
+                           fmt: int = FORMAT_INT8) -> int:
+        """One native call for a burst of SPEAD datagrams (the
+        recvmmsg() shape).  Returns the number placed."""
+        lens = np.asarray([len(d) for d in datagrams], np.uint64)
+        blob = b"".join(datagrams)
+        return self._lib.ingest_submit_spead_burst(
+            self._h, blob,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            len(datagrams), ts_id, stream_id, fmt)
 
     def retire(self, force: bool = False):
         """-> (chunk int8 (A,P,C) or None, fill_fraction)."""

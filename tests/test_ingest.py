@@ -12,6 +12,19 @@ pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
 from dc_sand_tpu.runtime.ingest import NativeIngest, unpack_10bit  # noqa: E402
 
 
+def _spead_packet(items: dict, payload: bytes) -> bytes:
+    """Reference SPEAD-64-48 packer: header + immediate BE64 item
+    pointers + payload (matches csrc/ingest.cpp's decoder contract)."""
+    out = bytearray()
+    out += bytes([0x53, 0x04, 0x08, 0x06, 0x00, 0x00])
+    out += len(items).to_bytes(2, "big")
+    for item_id, val in items.items():
+        ptr = (1 << 63) | (item_id << 48) | (val & ((1 << 48) - 1))
+        out += ptr.to_bytes(8, "big")
+    out += payload
+    return bytes(out)
+
+
 def _pack_10bit(samples10: np.ndarray) -> bytes:
     """NumPy reference packer: 4 samples -> 5 bytes, big-endian."""
     assert len(samples10) % 4 == 0
@@ -172,6 +185,43 @@ class TestAssembler:
         assert ing.stats()["packets_bad"] == bad0 + 1
         np.testing.assert_array_equal(view[0, 0], 9)  # view intact
         ing.release()
+
+    def test_spead_datagram_roundtrip(self):
+        """SPEAD-64-48 decode vs a NumPy reference packer: immediate
+        timestamp/stream items route the payload exactly like a direct
+        submit; multi-packet heaps place via the 0x03 payload offset."""
+        a, p, c = 2, 2, 64
+        ing = NativeIngest(a, p, c)
+        rng = np.random.default_rng(9)
+        ref = rng.integers(-100, 100, (a, p, c), dtype=np.int8)
+        for ai in range(a):
+            for pi in range(p):
+                stream = ai * p + pi
+                # two packets per heap: payload split at byte 40
+                pay = ref[ai, pi].tobytes()
+                d1 = _spead_packet({0x1600: 0, 0x3101: stream,
+                                    0x03: 0}, pay[:40])
+                d2 = _spead_packet({0x1600: 0, 0x3101: stream,
+                                    0x03: 40}, pay[40:])
+                assert ing.submit_spead(d1) == 0
+                assert ing.submit_spead(d2) == 0
+        chunk, fill = ing.retire()
+        assert fill == 1.0
+        np.testing.assert_array_equal(chunk, ref)
+
+    def test_spead_burst_and_malformed(self):
+        a, p, c = 1, 1, 32
+        ing = NativeIngest(a, p, c)
+        pay = np.arange(c, dtype=np.int8).tobytes()
+        good = _spead_packet({0x1600: 0, 0x3101: 0, 0x03: 0}, pay)
+        bad_magic = b"\x00" + good[1:]
+        no_stream = _spead_packet({0x1600: 0}, pay)
+        assert ing.submit_spead_burst([good, bad_magic, no_stream]) == 1
+        assert ing.stats()["packets_bad"] == 2
+        chunk, fill = ing.retire()
+        assert fill == 1.0
+        np.testing.assert_array_equal(chunk[0, 0],
+                                      np.arange(c, dtype=np.int8))
 
     def test_10bit_packets(self):
         a, p, c = 1, 1, 64
