@@ -124,8 +124,9 @@ def cmd_run(args) -> int:
                                       seed=i))
         return stream_chunks[i]
 
-    dumps, counters = runner.run(source, args.chunks,
-                                 drop_chunks=args.drop or ())
+    run_fn = runner.run_batched if args.batched else runner.run
+    dumps, counters = run_fn(source, args.chunks,
+                             drop_chunks=args.drop or ())
     print(f"config={cfg.name} hash={cfg.config_hash()} mode={runner.mode}")
     print(f"chunks={counters.chunks_in} dropped={counters.chunks_dropped} "
           f"samples_in={counters.samples_in} "
@@ -234,6 +235,10 @@ def main(argv=None) -> int:
     pr.add_argument("--drop", type=int, nargs="*",
                     help="fault-inject: drop these chunk indices")
     pr.add_argument("--checkpoint", help="save state npz at the end")
+    pr.add_argument("--batched", action="store_true",
+                    help="offline fast path: scan one dump window per "
+                         "device dispatch (fx mode, dump-aligned "
+                         "--chunks)")
     _add_common(pr)
     pr.set_defaults(fn=cmd_run)
 

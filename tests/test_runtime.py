@@ -130,6 +130,35 @@ class TestRunnerFX:
 
         np.testing.assert_array_equal(dumps_a[1].vis, dumps_b[0].vis)
 
+    @pytest.mark.parametrize("impl", ["jnp", "fused_interpret"])
+    def test_run_batched_equals_streaming(self, impl):
+        """The offline scan path (one dispatch per dump window) equals
+        the per-chunk streaming run bitwise — same carry semantics,
+        drop bookkeeping, and dump extraction — on both the jnp and
+        the fused Pallas (frames-I/O) paths."""
+        nch = 512 if impl == "fused_interpret" else N_CHANS
+        ntaps = 4
+        cfg = _cfg(n_chans=nch, n_taps=ntaps, spectra_per_chunk=8,
+                   n_spectra_per_acc=16)
+        dm = DelayModel.zeros(cfg.n_ants, cfg.n_pols, max_delay=8)
+        dm.d0 += 2.0
+        dm.d1 += 0.002
+        stream = _make_stream(cfg, 4, seed=31)
+        w = pfb_window(ntaps, cfg.fft_size, cfg.window)
+        src = _source(stream, cfg)
+        import copy
+        r1 = FXRunner(cfg, w, delay_model=copy.deepcopy(dm), impl=impl)
+        d1, c1 = r1.run(src, 4, drop_chunks=[1])
+        r2 = FXRunner(cfg, w, delay_model=copy.deepcopy(dm), impl=impl)
+        d2, c2 = r2.run_batched(src, 4, drop_chunks=[1])
+        assert len(d1) == len(d2) == 2
+        for a, b in zip(d1, d2):
+            np.testing.assert_array_equal(a.vis, b.vis)
+            assert a.n_spectra == b.n_spectra
+            assert a.first_chunk == b.first_chunk
+        assert c1.chunks_in == c2.chunks_in
+        assert c1.chunks_dropped == c2.chunks_dropped == 1
+
     def test_checkpoint_resume_frames_io(self, tmp_path):
         """Resume under the frames-I/O convention (fused step: history
         carried as (A*P, taps_pad, M) frames): bitwise-identical dumps
