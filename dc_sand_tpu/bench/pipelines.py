@@ -226,3 +226,48 @@ def bench_fx_step(n_ants: int = 64, n_pols: int = 2, n_chans: int = 1024,
         extra={"n_ants": a, "n_chans": k, "n_spectra": b,
                "vs_realtime_floor": samples / wall / REALTIME_FLOOR_PER_CHIP},
     ).finish()
+
+
+def bench_runner_modes(n_ants: int = 16, n_pols: int = 2,
+                       n_chans: int = 1024, spectra: int = 64,
+                       n_chunks: int = 16):
+    """Streaming ``run`` vs offline ``run_batched`` on the same runner
+    config: quantifies the per-dispatch overhead the batched scan
+    amortises (one dispatch per dump window instead of per chunk).
+    Returns both records; every chunk's data differs, so neither path
+    can be served from this backend's result cache."""
+    import time as _time
+
+    from dc_sand_tpu.config import get_config
+    from dc_sand_tpu.runtime import FXRunner
+    from dc_sand_tpu.windows import pfb_window
+
+    cfg = get_config("fx64").replace(
+        n_ants=n_ants, n_pols=n_pols, n_chans=n_chans,
+        spectra_per_chunk=spectra, n_spectra_per_acc=4 * spectra)
+    rng = np.random.default_rng(0)
+    n_cache = 4 * (cfg.n_spectra_per_acc // spectra)
+    chunks = [rng.integers(-100, 100,
+                           (n_ants, n_pols, cfg.chunk_samples),
+                           dtype=np.int8) for _ in range(n_cache)]
+    window = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
+    results = []
+    for mode in ("batched", "streaming"):
+        r = FXRunner(cfg, window, impl="auto")
+        fn = r.run_batched if mode == "batched" else r.run
+        fn(lambda i: chunks[i % n_cache], n_cache)      # warm + compile
+        t0 = _time.perf_counter()
+        fn(lambda i: chunks[(i + 1) % n_cache], n_chunks)
+        wall = _time.perf_counter() - t0
+        samples = n_ants * n_pols * cfg.chunk_samples * n_chunks
+        results.append(BenchResult(
+            name=f"runner_{mode}",
+            metric="runner samples/s", value=samples / wall,
+            unit="samp/s", wall_s=wall / n_chunks, bytes_moved=samples,
+            extra={"n_ants": n_ants, "n_chans": n_chans,
+                   "spectra": spectra, "n_chunks": n_chunks,
+                   "chunks_per_dispatch":
+                       (cfg.n_spectra_per_acc // spectra
+                        if mode == "batched" else 1)},
+        ).finish())
+    return results
