@@ -315,6 +315,9 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
             ablate, pad0=0):
     s = pl.program_id(0)
     b = pl.program_id(1)
+    # perf-ablation flags (comma-separated, e.g. "no_fir,no_stage2"):
+    # each skips one phase so on-chip deltas attribute the kernel's time
+    ab = frozenset((ablate or "").split(","))
 
     # ---------------- FIR (overlap-save, VMEM history) ----------------
     # Two input conventions (static choice):
@@ -428,7 +431,7 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
             wait_last(slot)
 
     new_f32 = new_buf[slot].astype(jnp.float32)
-    if ablate == "no_fir":          # perf-ablation probe only
+    if "no_fir" in ab:
         fir = new_f32 * w_ref[0, 0]
     else:
         buf = jnp.concatenate([hist_buf[...], new_f32], axis=0)
@@ -458,7 +461,7 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
     # Stage 1 is an iterative DIF radix-2 FFT over contiguous lane
     # blocks (full-width ops); outputs land in bit-reversed k2 order
     # and no reshapes/transposes ever touch Mosaic.
-    if ablate == "no_fft":
+    if "no_fft" in ab:
         yy = [(fir[:, i * m1:(i + 1) * m1], None) for i in range(m2)]
     else:
         yy = _dif_fft_blocks(fir, dif_ref, dif_offs, m1, m2)
@@ -542,8 +545,8 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
         # write this group's twiddled stage-1 rows into the Z scratch
         for j in range(mg):
             k2 = gi * mg + j
-            if k2 == 0:
-                zr, zi = yy[0]       # tw row 0 is identity
+            if k2 == 0 or "no_twiddle" in ab:
+                zr, zi = yy[_bitrev(k2, bits) if k2 else 0]
             else:
                 zr, zi = _cmul_rt(yy[_bitrev(k2, bits)],
                                   tw_ref[0, k2], tw_ref[1, k2])
@@ -552,7 +555,7 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
             z_scratch[j * tb:(j + 1) * tb, m1:2 * m1] = \
                 zi if zi is not None else jnp.zeros((tb, m1), jnp.float32)
 
-        if ablate == "no_stage2":
+        if "no_stage2" in ab:
             zz = z_scratch[...]
             cr_all, ci_all = zz[:, 0:k1n], zz[:, k1n:2 * k1n]
         else:
@@ -562,7 +565,7 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
             k2 = gi * mg + j
             cr = cr_all[j * tb:(j + 1) * tb]
             ci = ci_all[j * tb:(j + 1) * tb]
-            if ablate == "no_output":
+            if "no_output" in ab:
                 out_ref[0, 2 * k2] = cr.astype(out_ref.dtype)
                 out_ref[0, 2 * k2 + 1] = ci.astype(out_ref.dtype)
                 continue
