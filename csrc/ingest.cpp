@@ -387,6 +387,69 @@ long long ingest_submit_spead_burst(void* h, const uint8_t* data,
   return ok;
 }
 
+// SPEAD-64-48 encoder — the transmit mirror of ingest_submit_spead.
+// The reference world ships every hop of the signal chain as SPEAD
+// heaps over UDP multicast (digitiser -> F -> X -> science consumers);
+// the TPU framework's corner-turn rides ICI instead (SURVEY.md §2.3
+// C7), but the OUTWARD product — visibility dumps, beam data — still
+// leaves the correlator as SPEAD, so the native tier carries the
+// packetizer too.
+//
+// Packetizes ONE heap (a contiguous payload: a chunk of a stream, a
+// visibility dump) into datagrams of at most `max_payload` payload
+// bytes each.  Every datagram is self-describing (immediate items:
+// heap id 0x01, payload offset 0x03, payload length 0x04, plus the
+// application timestamp and stream-id items), so packets may arrive in
+// any order and the decoder above reassembles them by
+// timestamp + offset.  Datagrams are written back to back into `dst`
+// with per-datagram lengths in `lens` — exactly the burst shape
+// ingest_submit_spead_burst (and a sendmmsg() loop) consumes.
+// Returns the number of datagrams, or -1 if dst/lens capacity is
+// insufficient (capacity check is exact, done before any write).
+namespace {
+
+inline void put_be64(uint8_t* p, uint64_t v) {
+  for (int i = 7; i >= 0; --i) { p[i] = uint8_t(v); v >>= 8; }
+}
+
+inline void put_item(uint8_t* p, int id, uint64_t val) {
+  put_be64(p, (uint64_t(1) << 63) | (uint64_t(id & 0x7FFF) << 48) |
+              (val & 0xFFFFFFFFFFFFULL));
+}
+
+}  // namespace
+
+long long spead_encode(uint8_t* dst, uint64_t dst_cap, uint64_t* lens,
+                       uint64_t lens_cap, const uint8_t* payload,
+                       uint64_t payload_len, uint64_t heap_id,
+                       uint64_t timestamp, uint64_t stream, int ts_id,
+                       int stream_id_item, uint64_t max_payload) {
+  if (payload_len == 0 || max_payload == 0) return -1;
+  const uint64_t n_items = 5;
+  const uint64_t hdr = 8 + 8 * n_items;
+  const uint64_t n_pkts = (payload_len + max_payload - 1) / max_payload;
+  if (n_pkts > lens_cap || hdr * n_pkts + payload_len > dst_cap) {
+    return -1;
+  }
+  uint64_t off = 0;
+  for (uint64_t i = 0; i < n_pkts; ++i) {
+    uint64_t chunk = std::min(max_payload, payload_len - i * max_payload);
+    uint8_t* p = dst + off;
+    p[0] = 0x53; p[1] = 0x04; p[2] = 0x08; p[3] = 0x06;
+    p[4] = 0; p[5] = 0;
+    p[6] = uint8_t(n_items >> 8); p[7] = uint8_t(n_items);
+    put_item(p + 8, 0x01, heap_id);
+    put_item(p + 16, 0x03, i * max_payload);   // payload offset (bytes)
+    put_item(p + 24, 0x04, chunk);             // payload length in pkt
+    put_item(p + 32, ts_id, timestamp);
+    put_item(p + 40, stream_id_item, stream);
+    std::memcpy(p + hdr, payload + i * max_payload, chunk);
+    lens[i] = hdr + chunk;
+    off += hdr + chunk;
+  }
+  return (long long)n_pkts;
+}
+
 // Retire the oldest chunk into `out` (chunk_bytes).  Returns fill
 // fraction in ppm (1e6 = complete) or -1 if, with force=0, the tail
 // chunk is not yet COMPLETE (every byte covered by a packet) — an

@@ -14,3 +14,6 @@ any chunk boundary from persisted state; in-flight integrations drop
 from .delays import DelayModel  # noqa: F401
 from .runner import FXRunner, RunnerCounters  # noqa: F401
 from .checkpoint import save_state, load_state  # noqa: F401
+from .ingest import (NativeIngest, SpeadTransmitter,  # noqa: F401
+                     spead_packetize, multi_ingest_source)
+

@@ -16,7 +16,8 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["NativeIngest", "load_library", "unpack_10bit",
-           "multi_ingest_source"]
+           "multi_ingest_source", "spead_packetize",
+           "SpeadTransmitter"]
 
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "csrc")
@@ -68,6 +69,13 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.ingest_stats.argtypes = [ctypes.c_void_p] + \
         [ctypes.POINTER(ctypes.c_uint64)] * 3
+    lib.spead_encode.restype = ctypes.c_longlong
+    lib.spead_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint64]
     lib.ingest_set_delay.restype = ctypes.c_int
     lib.ingest_set_delay.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_longlong,
@@ -144,6 +152,83 @@ def multi_ingest_source(ingests, cfg=None, force: bool = True,
                                                                 axis=0)
 
     return source
+
+
+def spead_packetize(payload, timestamp: int, stream: int, *,
+                    heap_id: int = 0, max_payload: int = 8192,
+                    ts_id: int = 0x1600, stream_id: int = 0x3101):
+    """Packetize one heap into SPEAD-64-48 datagrams (native encoder,
+    ``csrc/ingest.cpp:spead_encode`` — the transmit mirror of
+    :meth:`NativeIngest.submit_spead`).
+
+    ``payload`` is any bytes-like / contiguous ndarray (an int8 stream
+    chunk, a visibility dump's raw bytes); it is split into packets of
+    at most ``max_payload`` payload bytes, each self-describing via
+    immediate items (heap id, payload offset/length, ``ts_id``
+    timestamp, ``stream_id`` stream index).  Returns ``(buf, lens)``:
+    datagrams stored back to back — the exact burst shape
+    :meth:`NativeIngest.submit_spead_burst` (loopback tests) or a
+    ``sendmmsg()`` UDP loop (deployment) consumes.
+    """
+    lib = load_library()
+    data = np.ascontiguousarray(
+        np.frombuffer(memoryview(payload).cast("B"), np.uint8)
+        if not isinstance(payload, np.ndarray)
+        else payload.reshape(-1).view(np.uint8))
+    n_pkts = -(-len(data) // max_payload)
+    hdr = 8 + 8 * 5
+    buf = ctypes.create_string_buffer(hdr * n_pkts + len(data))
+    lens = np.empty(n_pkts, np.uint64)
+    n = lib.spead_encode(
+        buf, len(buf), lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n_pkts, data.tobytes(), len(data), heap_id, timestamp, stream,
+        ts_id, stream_id, max_payload)
+    if n < 0:
+        raise ValueError("spead_encode: empty payload or capacity bug")
+    return bytes(buf.raw), lens[:n]
+
+
+class SpeadTransmitter:
+    """Outward SPEAD sender for the signal chain's products (the
+    reference world ships visibility dumps / beam data downstream as
+    SPEAD heaps over UDP multicast; SURVEY.md §3.2 network boundary).
+
+    Packetizes each array it is given as one heap per stream with a
+    monotonically increasing heap id, and hands the datagram burst to
+    ``sink(buf, lens)`` — a UDP ``sendmmsg`` loop in deployment, or an
+    :class:`NativeIngest` loopback in tests.  Transport only: no
+    device work, no copies beyond the packet build.
+    """
+
+    def __init__(self, sink, *, max_payload: int = 8192,
+                 ts_id: int = 0x1600, stream_id: int = 0x3101):
+        self._sink = sink
+        self._max_payload = max_payload
+        self._ids = (ts_id, stream_id)
+        self._heap = 0
+        self.heaps_sent = 0
+
+    def send(self, payload, timestamp: int, stream: int = 0) -> int:
+        """Ship one heap; returns the number of datagrams emitted."""
+        buf, lens = spead_packetize(
+            payload, timestamp, stream, heap_id=self._heap,
+            max_payload=self._max_payload, ts_id=self._ids[0],
+            stream_id=self._ids[1])
+        self._heap += 1
+        self.heaps_sent += 1
+        self._sink(buf, lens)
+        return len(lens)
+
+    def send_dump(self, dump) -> int:
+        """Ship a runner :class:`~dc_sand_tpu.runtime.runner.Dump`:
+        visibilities (stream 0) and, when present, beam data (stream 1),
+        timestamped with the dump's first chunk index."""
+        ts = int(getattr(dump, "first_chunk", 0))
+        n = self.send(np.ascontiguousarray(dump.vis), ts, 0)
+        beams = getattr(dump, "beams", None)
+        if beams is not None:
+            n += self.send(np.ascontiguousarray(beams), ts, 1)
+        return n
 
 
 class NativeIngest:
@@ -230,13 +315,21 @@ class NativeIngest:
                            stream_id: int = SPEAD_STREAM_ID,
                            fmt: int = FORMAT_INT8) -> int:
         """One native call for a burst of SPEAD datagrams (the
-        recvmmsg() shape).  Returns the number placed."""
-        lens = np.asarray([len(d) for d in datagrams], np.uint64)
-        blob = b"".join(datagrams)
+        recvmmsg() shape).  ``datagrams`` is a list of datagram bytes,
+        or a pre-packed ``(blob, lens)`` pair as produced by
+        :func:`spead_packetize` (tx->rx loopback without re-framing).
+        Returns the number placed."""
+        if (isinstance(datagrams, tuple) and len(datagrams) == 2
+                and isinstance(datagrams[0], (bytes, bytearray))):
+            blob, lens = datagrams
+            lens = np.ascontiguousarray(lens, np.uint64)
+        else:
+            lens = np.asarray([len(d) for d in datagrams], np.uint64)
+            blob = b"".join(datagrams)
         return self._lib.ingest_submit_spead_burst(
             self._h, blob,
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-            len(datagrams), ts_id, stream_id, fmt)
+            len(lens), ts_id, stream_id, fmt)
 
     def retire(self, force: bool = False):
         """-> (chunk int8 (A,P,C) or None, fill_fraction)."""
