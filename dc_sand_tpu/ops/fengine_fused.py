@@ -14,9 +14,19 @@ slices only):
 
 1. **FIR** — overlap-save history carried in VMEM, double-buffered DMA
    of the TB new frames (same design as ops/pfb.py), fp32 accumulation
-   via circular rolls.  (A 7-pre-roll + aligned-slice variant that
-   halves roll traffic measured perf-neutral on v5e — the VPU FMAs
-   dominate, not the rolls.)
+   over <=8 shifted copies of the [history|tile] buffer (taps grouped
+   by offset mod 8, 8-aligned sublane slices).  ``fir_mode`` picks the
+   shift engine: ``"mxu"`` (default at m >= 8192) builds each shifted
+   copy as a shifted-identity bfloat16 dot — exact for the int8-derived
+   integer samples — moving the shuffle work onto the otherwise
+   ~12%-busy MXU; ``"roll"`` uses VPU ``pltpu.roll`` (the r1 design,
+   default at smaller m where the dots' (rows, rows) M-dim does not
+   amortise).  Bitwise identical (tested); on v5e at the 4k contract
+   shape the MXU mode measures 19.4 vs 14.8 Gsamp/s wire end-to-end
+   because the VPU is the kernel's critical path (full-shape ablation:
+   FIR 37% of kernel time, rolls ~2/3 of that).  A 7-pre-roll
+   + aligned-slice VPU variant and unaligned-offset DMA copies were
+   both ruled out (perf-neutral / Mosaic compiler crash).
 2. **FFT** — Cooley-Tukey ``M = m1*m2`` with ``m1`` lane-aligned:
    stage 1 is a statically-unrolled radix-2 FFT over the ``m2``
    lane-aligned slices (generated at trace time by ``_dft_tiles`` with
@@ -312,7 +322,7 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
             frac_ref, phase_ref, gains_ref, out_ref, new_buf,
             hist_buf, hist_stage, z_scratch, sems, *, taps, taps_pad, tb,
             nb, m, m1, m2, groups, dif_offs, quantized, stage2, w_scale,
-            ablate, pad0=0):
+            ablate, pad0=0, fir_mode="roll"):
     s = pl.program_id(0)
     b = pl.program_id(1)
     # perf-ablation flags (comma-separated, e.g. "no_fir,no_stage2"):
@@ -436,16 +446,42 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
     else:
         buf = jnp.concatenate([hist_buf[...], new_f32], axis=0)
         rows = taps_pad + tb
-        # taps grouped by (pad0 + t) mod 8: one roll serves every tap of
-        # its residue class through 8-aligned sublane slices — <= 7
-        # rolls instead of taps-1 (the rolls measured ~2x the FIR FMAs'
-        # cost), and only one rolled copy is live at a time.  Output j
-        # reads buf[j + pad0 + t] (pad0 = 0 concatenated mode).
+        # taps grouped by (pad0 + t) mod 8: one shifted copy serves
+        # every tap of its residue class through 8-aligned sublane
+        # slices — <= 7 shifts instead of taps-1, and only one shifted
+        # copy is live at a time.  Output j reads buf[j + pad0 + t]
+        # (pad0 = 0 concatenated mode).
+        #
+        # fir_mode picks WHO produces the shifted copies:
+        #  * "roll" — pltpu.roll on the VPU (sublane shuffles; measured
+        #    ~2x the FIR FMAs' cost, and the VPU is this kernel's
+        #    critical path: FIR+stage1+output ~55% vs MXU ~12%);
+        #  * "mxu"  — shifted-identity dots on the MXU:
+        #    rolled_r = P_r @ buf_bf16 with P_r[i, j] = (j == i + r).
+        #    buf holds int8-derived INTEGERS (|x| <= 127, exact in
+        #    bfloat16) and P_r is 0/1, so each output element is a
+        #    single exact product: the fp32 dot result is BITWISE the
+        #    rolled buffer, while the shuffle work moves to the idle
+        #    MXU and off the VPU critical path.  No wrap rows are
+        #    needed (i + r < rows for every consumed slice), so the
+        #    truncated shift equals the circular roll on the read
+        #    range.
         fir = None
         residues = sorted({(pad0 + t) % 8 for t in range(taps)})
+        bufb = buf.astype(jnp.bfloat16) if fir_mode == "mxu" else None
+        if fir_mode == "mxu" and len(residues) > 1:
+            ii = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
         for r in residues:
-            rolled = buf if r == 0 else pltpu.roll(buf, rows - r,
-                                                   axis=0)
+            if r == 0:
+                rolled = buf
+            elif fir_mode == "mxu":
+                p_r = (jj == ii + r).astype(jnp.bfloat16)
+                rolled = jax.lax.dot_general(
+                    p_r, bufb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                rolled = pltpu.roll(buf, rows - r, axis=0)
             for t in range(taps):
                 off = pad0 + t
                 if off % 8 != r:
@@ -619,7 +655,7 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
                   frac_delay=None, phase=None, gains=None,
                   stage2: str = None, m1: int = None, tb: int = None,
                   groups: int = None, layout: str = "wire",
-                  strict: bool = False,
+                  strict: bool = False, fir_mode: str = None,
                   interpret: bool = False, _ablate: str = None):
     """Fused F-engine.  ``x: (..., T)`` int8; returns ``(..., B, K, 2)``
     int8 (with ``gains``) or float32 (without).
@@ -656,6 +692,7 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
                             frac_delay=frac_delay, phase=phase,
                             gains=gains, stage2=stage2, m1=m1, tb=tb,
                             groups=groups, layout=layout, strict=strict,
+                            fir_mode=fir_mode,
                             interpret=interpret, _ablate=_ablate)
     t_len = x.shape[-1]
     if t_len % m:
@@ -724,13 +761,15 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
         groups=groups, taps=taps, taps_pad=taps_pad, m=m, m1v=m1v,
         m2=m2, tw=tw, wm=wm, frac_delay=frac_delay, phase=phase,
         gains=gains, stage2=stage2, pad0=0, layout=layout,
-        n_chans=n_chans, interpret=interpret, _ablate=_ablate)
+        n_chans=n_chans, fir_mode=fir_mode, interpret=interpret,
+        _ablate=_ablate)
 
 
 def _fused_split(x, history, window, taps: int, n_chans: int, *,
                  frac_delay=None, phase=None, gains=None, stage2=None,
                  m1=None, tb=None, groups=None, layout="wire",
-                 strict=False, interpret=False, _ablate=None):
+                 strict=False, fir_mode=None, interpret=False,
+                 _ablate=None):
     """Split-I/O fused F-engine: chunk ``x (..., B, M)`` + carried
     history ``(..., taps_pad, M)`` as separate kernel refs (no concat,
     no input relayout — see :func:`fengine_fused` docstring)."""
@@ -775,14 +814,14 @@ def _fused_split(x, history, window, taps: int, n_chans: int, *,
         groups=groups, taps=taps, taps_pad=taps_pad, m=m, m1v=m1v,
         m2=m2, tw=tw, wm=wm, frac_delay=frac_delay, phase=phase,
         gains=gains, stage2=stage2, pad0=taps_pad - taps + 1,
-        layout=layout, n_chans=n_chans, interpret=interpret,
-        _ablate=_ablate)
+        layout=layout, n_chans=n_chans, fir_mode=fir_mode,
+        interpret=interpret, _ablate=_ablate)
 
 
 def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
                   groups, taps, taps_pad, m, m1v, m2, tw, wm,
                   frac_delay, phase, gains, stage2, pad0, layout,
-                  n_chans, interpret, _ablate):
+                  n_chans, fir_mode, interpret, _ablate):
     """Shared pallas_call construction + output decode for both input
     conventions (``pad0 == 0``: ref_a = [history|stream], ref_b = tail
     tile; ``pad0 > 0``: ref_a = history frames, ref_b = chunk frames).
@@ -838,7 +877,12 @@ def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
         _kernel, taps=taps, taps_pad=taps_pad, tb=tb, nb=nb, m=m, m1=m1v,
         m2=m2, groups=groups, dif_offs=tuple(dif_offs),
         quantized=quantized, stage2=stage2, w_scale=w_scale,
-        ablate=_ablate, pad0=pad0)
+        ablate=_ablate, pad0=pad0,
+        # measured crossover (v5e, 16x512): m=8192 mxu 19.4 vs roll
+        # 14.8 Gsamp/s; m=2048 roll 16.9 vs mxu 15.1 — the shifted-
+        # identity dots only pay when the buffer is wide enough to
+        # amortise their (rows, rows) M-dim on the MXU
+        fir_mode=fir_mode or ("mxu" if m >= 8192 else "roll"))
     out_dtype = jnp.int8 if quantized else jnp.float32
     wm_shape = (2 * m1v, m1v)
     out = pl.pallas_call(

@@ -226,6 +226,24 @@ class TestFusedFEngine:
         # a few dB on small integers; contract bound is 50 (BASELINE.json:5)
         assert snr_db(ref, np_ri2c(out)) > 65
 
+    def test_fir_modes_bitwise(self):
+        """fir_mode="mxu" (shifted-identity MXU dots producing the
+        shifted FIR operands) is BITWISE the roll path: buf holds
+        int8-derived integers, exact in bfloat16, and the 0/1 shift
+        matrix makes every dot output a single exact product."""
+        from dc_sand_tpu.ops.fengine_fused import fengine_fused
+        taps, nch, B = 16, 512, 16
+        m, x, w, fd, ph, g = self._data(taps, nch, B, seed=21)
+        outs = [fengine_fused(jnp.asarray(x), w, taps, nch,
+                              frac_delay=jnp.asarray(fd),
+                              phase=jnp.asarray(ph),
+                              gains=jnp.asarray(np_c2ri(g)),
+                              stage2="fp32", fir_mode=mode,
+                              interpret=True)
+                for mode in ("roll", "mxu")]
+        np.testing.assert_array_equal(np.asarray(outs[0]),
+                                      np.asarray(outs[1]))
+
     def test_bare_matches_golden(self):
         from dc_sand_tpu.ops.fengine_fused import fengine_fused
         taps, nch, B = 16, 512, 16
