@@ -16,11 +16,11 @@ slices only):
    of the TB new frames (same design as ops/pfb.py), fp32 accumulation
    over <=8 shifted copies of the [history|tile] buffer (taps grouped
    by offset mod 8, 8-aligned sublane slices).  ``fir_mode`` picks the
-   shift engine: ``"mxu"`` (default at m >= 8192) builds each shifted
+   shift engine: ``"mxu"`` (default at rows <= 96) builds each shifted
    copy as a shifted-identity bfloat16 dot — exact for the int8-derived
    integer samples — moving the shuffle work onto the otherwise
    ~12%-busy MXU; ``"roll"`` uses VPU ``pltpu.roll`` (the r1 design,
-   default at smaller m where the dots' (rows, rows) M-dim does not
+   default at larger tiles where the dots' (rows, rows) M-dim does not
    amortise).  Bitwise identical (tested); on v5e at the 4k contract
    shape the MXU mode measures 19.4 vs 14.8 Gsamp/s wire end-to-end
    because the VPU is the kernel's critical path (full-shape ablation:
@@ -112,10 +112,12 @@ def native_channel_perm(n_chans: int, m1: int = None) -> np.ndarray:
 _P = jax.lax.Precision.HIGHEST
 
 # spectra per grid step: first entry dividing the chunk's spectra count
-# and fitting the VMEM model wins (measured on v5e at 1k chans: tb=128
-# 13.9 Gsamp/s, 64: 13.6, 32: 12.7 — bigger tiles amortise better until
-# VMEM runs out)
-_TB_CANDIDATES = (128, 64, 32, 16, 8)
+# and fitting the VMEM model wins.  tb=64 leads since the MXU-shifted
+# FIR landed: its (rows, rows) shift dots amortise at rows = taps_pad +
+# tb <= ~96, and that combination beats bigger tiles on the roll path
+# at both contract shapes (v5e 16x512: 1k tb64+mxu 17.1 vs tb128+roll
+# 16.9 vs tb128+mxu 15.1; 4k tb64 19.5 vs tb128 16.9 Gsamp/s).
+_TB_CANDIDATES = (64, 128, 32, 16, 8)
 _GROUP_CANDIDATES = (1, 2, 4)
 _VMEM_BUDGET = 12 * 1024 * 1024
 
@@ -878,11 +880,12 @@ def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
         m2=m2, groups=groups, dif_offs=tuple(dif_offs),
         quantized=quantized, stage2=stage2, w_scale=w_scale,
         ablate=_ablate, pad0=pad0,
-        # measured crossover (v5e, 16x512): m=8192 mxu 19.4 vs roll
-        # 14.8 Gsamp/s; m=2048 roll 16.9 vs mxu 15.1 — the shifted-
-        # identity dots only pay when the buffer is wide enough to
-        # amortise their (rows, rows) M-dim on the MXU
-        fir_mode=fir_mode or ("mxu" if m >= 8192 else "roll"))
+        # measured crossover (v5e, 16x512): the shifted-identity dots
+        # pay whenever their (rows, rows) M-dim stays MXU-friendly —
+        # rows=80: mxu 19.5 vs roll 14.8 at 4k, 17.2 vs 16.4 at 1k;
+        # rows=144 (tb=128): roll 16.9 vs mxu 15.1 at 1k
+        fir_mode=fir_mode or
+        ("mxu" if taps_pad + tb <= 96 else "roll"))
     out_dtype = jnp.int8 if quantized else jnp.float32
     wm_shape = (2 * m1v, m1v)
     out = pl.pallas_call(
