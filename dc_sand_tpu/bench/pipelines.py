@@ -271,3 +271,81 @@ def bench_runner_modes(n_ants: int = 16, n_pols: int = 2,
                         if mode == "batched" else 1)},
         ).finish())
     return results
+
+
+def bench_beam_step(n_ants: int = 64, n_pols: int = 2,
+                    n_chans: int = 4096, n_spectra: int = 256,
+                    n_beams: int = 16, taps: int = 16,
+                    iters: int = 64) -> BenchResult:
+    """End-to-end single-chip B-engine streaming step (config 5's
+    device path: full F-engine -> native-layout coherent beamformer +
+    incoherent sum), same valid-scan protocol as :func:`bench_fx_step`.
+    Every iteration's beam outputs feed the checksum — beam mode has no
+    carried accumulator, so an unconsumed output would let XLA delete
+    the whole B-engine (the DCE hazard bench_fx_step documents)."""
+    from dc_sand_tpu.config import get_config
+    from dc_sand_tpu.models.pipeline import (make_step, zero_vis_acc,
+                                             uses_frames_io,
+                                             history_shape, chunk_shape)
+
+    cfg = get_config("beam64").replace(
+        n_ants=n_ants, n_pols=n_pols, n_chans=n_chans, n_beams=n_beams,
+        spectra_per_chunk=n_spectra)
+    window = pfb_window(taps, cfg.fft_size)
+    step = make_step(cfg, window, max_delay=0, mesh=None, impl="auto",
+                     donate=False, coarse_on_host=True)
+    a, p, k, b = n_ants, n_pols, n_chans, n_spectra
+    fio = uses_frames_io(cfg, "auto", 0)
+    history = jnp.zeros(history_shape(cfg, 0, fio), jnp.int8)
+    vis_acc = zero_vis_acc(cfg)
+    chunk = jax.block_until_ready(jax.jit(
+        lambda: (jax.random.normal(jax.random.key(0),
+                                   chunk_shape(cfg, fio)) * 30)
+        .astype(jnp.int8))())
+    rng = np.random.default_rng(3)
+    coarse = jnp.zeros((a, p), jnp.int32)
+    frac = jnp.zeros((a, p, b), jnp.float32)
+    phase = jnp.zeros((a, p, b), jnp.float32)
+    gains = jnp.asarray(np.stack([np.full((k,), 0.05, np.float32),
+                                  np.zeros((k,), np.float32)], -1))
+    weights = jnp.asarray(
+        rng.normal(size=(n_beams, a, k, 2)).astype(np.float32) * 0.1)
+    reset = jnp.asarray(False)
+
+    import time as _time
+
+    def loop(hist0, acc0, ch0, *rest):
+        def body(carry, i):
+            hist, acc, ch, s = carry
+            ch = ch.at[(0,) * ch.ndim].add((i % 2).astype(ch.dtype))
+            hist, acc, outs = step(hist, acc, ch, *rest)
+            for leaf in jax.tree_util.tree_leaves(outs):
+                s = s + jax.lax.optimization_barrier(
+                    leaf).ravel()[0].astype(jnp.float32)
+            return (hist, acc, ch, s), ()
+
+        (hist, _, _, s), _ = jax.lax.scan(
+            body, (hist0, acc0, ch0, jnp.float32(0.0)),
+            jnp.arange(iters))
+        return s + hist.ravel()[0].astype(jnp.float32)
+
+    rest = (coarse, frac, phase, gains, weights, reset)
+    compiled = jax.jit(loop).lower(history, vis_acc, chunk,
+                                   *rest).compile()
+    np.asarray(compiled(history, vis_acc, chunk, *rest))  # server warm
+    ch1 = jax.block_until_ready(jax.jit(lambda v: v + 1)(chunk))
+    t0 = _time.perf_counter()
+    val = np.asarray(compiled(history, vis_acc, ch1, *rest))
+    wall = (_time.perf_counter() - t0) / iters
+    assert val == val, "NaN checksum"
+    samples = a * p * cfg.chunk_samples
+    out_bytes = (n_beams + 1) * p * b * k * 8
+    return BenchResult(
+        name="beam_step_64ant",
+        metric="B-engine-step samples/s/chip", value=samples / wall,
+        unit="samp/s", wall_s=wall,
+        bytes_moved=samples + out_bytes,
+        extra={"n_ants": a, "n_chans": k, "n_spectra": b,
+               "n_beams": n_beams,
+               "vs_realtime_floor": samples / wall / REALTIME_FLOOR_PER_CHIP},
+    ).finish()

@@ -161,6 +161,9 @@ def _run_bench(args) -> int:
     elif args.target == "fx":
         from dc_sand_tpu.bench.pipelines import bench_fx_step
         results.append(bench_fx_step(n_chans=args.scale or 1024))
+    elif args.target == "beam-step":
+        from dc_sand_tpu.bench.pipelines import bench_beam_step
+        results.append(bench_beam_step(n_chans=args.scale or 4096))
     elif args.target == "xcorr":
         from dc_sand_tpu.bench.kernels import bench_xcorr
         results.append(bench_xcorr(n_chans=args.scale or 4096))
@@ -244,9 +247,9 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="benchmark on the local chip")
     pb.add_argument("target", nargs="?", default="fengine",
-                    choices=["fengine", "pfb", "fx", "xcorr", "beamform",
-                             "collectives", "membench", "scaling",
-                             "ingest"])
+                    choices=["fengine", "pfb", "fx", "beam-step",
+                             "xcorr", "beamform", "collectives",
+                             "membench", "scaling", "ingest"])
     pb.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler (xprof/perfetto) trace")
     _add_common(pb)
