@@ -425,7 +425,7 @@ long long spead_encode(uint8_t* dst, uint64_t dst_cap, uint64_t* lens,
                        uint64_t timestamp, uint64_t stream, int ts_id,
                        int stream_id_item, uint64_t max_payload) {
   if (payload_len == 0 || max_payload == 0) return -1;
-  const uint64_t n_items = 5;
+  const uint64_t n_items = 6;
   const uint64_t hdr = 8 + 8 * n_items;
   const uint64_t n_pkts = (payload_len + max_payload - 1) / max_payload;
   if (n_pkts > lens_cap || hdr * n_pkts + payload_len > dst_cap) {
@@ -439,10 +439,14 @@ long long spead_encode(uint8_t* dst, uint64_t dst_cap, uint64_t* lens,
     p[4] = 0; p[5] = 0;
     p[6] = uint8_t(n_items >> 8); p[7] = uint8_t(n_items);
     put_item(p + 8, 0x01, heap_id);
-    put_item(p + 16, 0x03, i * max_payload);   // payload offset (bytes)
-    put_item(p + 24, 0x04, chunk);             // payload length in pkt
-    put_item(p + 32, ts_id, timestamp);
-    put_item(p + 40, stream_id_item, stream);
+    // heap length (0x02): spead2-standard receivers only mark a heap
+    // complete when received payload equals this item's value — without
+    // it every heap sits incomplete until flushed and is dropped
+    put_item(p + 16, 0x02, payload_len);
+    put_item(p + 24, 0x03, i * max_payload);   // payload offset (bytes)
+    put_item(p + 32, 0x04, chunk);             // payload length in pkt
+    put_item(p + 40, ts_id, timestamp);
+    put_item(p + 48, stream_id_item, stream);
     std::memcpy(p + hdr, payload + i * max_payload, chunk);
     lens[i] = hdr + chunk;
     off += hdr + chunk;

@@ -329,7 +329,13 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
     b = pl.program_id(1)
     # perf-ablation flags (comma-separated, e.g. "no_fir,no_stage2"):
     # each skips one phase so on-chip deltas attribute the kernel's time
-    ab = frozenset((ablate or "").split(","))
+    ab = frozenset(t.strip() for t in (ablate or "").split(",") if t.strip())
+    unknown = ab - {"no_fir", "no_fft", "no_twiddle", "no_stage2",
+                    "no_output"}
+    if unknown:
+        # a typo'd flag would silently ablate nothing and read as
+        # "this phase is free" in an attribution sweep
+        raise ValueError(f"unknown ablate flag(s): {sorted(unknown)}")
 
     # ---------------- FIR (overlap-save, VMEM history) ----------------
     # Two input conventions (static choice):
@@ -632,7 +638,8 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
 
 
 def _choose_tiling(m: int, m2: int, b_out: int, taps_pad: int):
-    """Largest (tb, groups) whose VMEM-footprint model fits the budget.
+    """First PREFERRED (tb, groups) — _TB_CANDIDATES order, no longer
+    descending — whose VMEM-footprint model fits the budget.
 
     Model (empirical, v5e): static scratch (new int8 frames, history,
     Z) plus the live fp32 temporaries of the FIR and radix-FFT phases
@@ -809,7 +816,7 @@ def _fused_split(x, history, window, taps: int, n_chans: int, *,
             full.reshape(lead + (-1,)), window, taps, n_chans,
             frac_delay=frac_delay, phase=phase, gains=gains,
             stage2=stage2, m1=m1, layout=layout, strict=strict,
-            interpret=interpret, _ablate=_ablate)
+            fir_mode=fir_mode, interpret=interpret, _ablate=_ablate)
     return _launch_fused(
         history.reshape(s, taps_pad, m), x.reshape(s, b_out, m), window,
         s=s, lead=lead, b_out=b_out, nb=b_out // tb, tb=tb,
@@ -831,6 +838,10 @@ def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
     quantized = gains is not None
     if stage2 is None:
         stage2 = _DEFAULT_STAGE2
+    if fir_mode not in (None, "roll", "mxu"):
+        # same strictness as impl="fused": a typo must not silently
+        # select a different engine and poison a crossover measurement
+        raise ValueError(f"unknown fir_mode {fir_mode!r}")
     k1n = m1v // 2
     assert m2 * k1n == n_chans
     # (S, nb, 1, tb): trailing block dims equal the array dims, which

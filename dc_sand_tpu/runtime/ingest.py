@@ -171,21 +171,23 @@ def spead_packetize(payload, timestamp: int, stream: int, *,
     ``sendmmsg()`` UDP loop (deployment) consumes.
     """
     lib = load_library()
+    # zero-copy view of the payload; the only copy on this path is the
+    # packet build itself (native memcpy into the datagram buffer)
     data = np.ascontiguousarray(
         np.frombuffer(memoryview(payload).cast("B"), np.uint8)
         if not isinstance(payload, np.ndarray)
         else payload.reshape(-1).view(np.uint8))
     n_pkts = -(-len(data) // max_payload)
-    hdr = 8 + 8 * 5
+    hdr = 8 + 8 * 6
     buf = ctypes.create_string_buffer(hdr * n_pkts + len(data))
     lens = np.empty(n_pkts, np.uint64)
     n = lib.spead_encode(
         buf, len(buf), lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        n_pkts, data.tobytes(), len(data), heap_id, timestamp, stream,
-        ts_id, stream_id, max_payload)
+        n_pkts, data.ctypes.data_as(ctypes.c_char_p), len(data),
+        heap_id, timestamp, stream, ts_id, stream_id, max_payload)
     if n < 0:
         raise ValueError("spead_encode: empty payload or capacity bug")
-    return bytes(buf.raw), lens[:n]
+    return buf.raw, lens[:n]
 
 
 class SpeadTransmitter:
@@ -201,10 +203,12 @@ class SpeadTransmitter:
     """
 
     def __init__(self, sink, *, max_payload: int = 8192,
-                 ts_id: int = 0x1600, stream_id: int = 0x3101):
+                 ts_id: int = 0x1600, stream_id: int = 0x3101,
+                 ticks_per_chunk: int = 1):
         self._sink = sink
         self._max_payload = max_payload
         self._ids = (ts_id, stream_id)
+        self._ticks_per_chunk = ticks_per_chunk
         self._heap = 0
         self.heaps_sent = 0
 
@@ -221,9 +225,13 @@ class SpeadTransmitter:
 
     def send_dump(self, dump) -> int:
         """Ship a runner :class:`~dc_sand_tpu.runtime.runner.Dump`:
-        visibilities (stream 0) and, when present, beam data (stream 1),
-        timestamped with the dump's first chunk index."""
-        ts = int(getattr(dump, "first_chunk", 0))
+        visibilities (stream 0) and, when present, beam data (stream 1).
+        The 0x1600 timestamp convention is ADC sample ticks (exactly
+        what the decode side assumes: sample index = timestamp +
+        offset), so the dump's first chunk index is scaled by
+        ``ticks_per_chunk`` — pass ``cfg.chunk_samples`` to place dumps
+        on the stream's own timeline."""
+        ts = int(getattr(dump, "first_chunk", 0)) * self._ticks_per_chunk
         n = self.send(np.ascontiguousarray(dump.vis), ts, 0)
         beams = getattr(dump, "beams", None)
         if beams is not None:
@@ -320,7 +328,11 @@ class NativeIngest:
         :func:`spead_packetize` (tx->rx loopback without re-framing).
         Returns the number placed."""
         if (isinstance(datagrams, tuple) and len(datagrams) == 2
-                and isinstance(datagrams[0], (bytes, bytearray))):
+                and isinstance(datagrams[0], (bytes, bytearray))
+                and isinstance(datagrams[1], np.ndarray)
+                and datagrams[1].dtype.kind in "iu"):
+            # (blob, lens) pair — a 2-tuple of raw datagram BYTES (both
+            # elements bytes, no ndarray) still takes the list path
             blob, lens = datagrams
             lens = np.ascontiguousarray(lens, np.uint64)
         else:

@@ -426,19 +426,20 @@ class TestSpeadTransmit:
         pay = bytes(range(250))
         buf, lens = spead_packetize(pay, timestamp=12345, stream=7,
                                     heap_id=99, max_payload=100)
-        assert [int(x) for x in lens] == [148, 148, 98]
+        assert [int(x) for x in lens] == [156, 156, 106]
         off = 0
         for i, ln in enumerate(int(x) for x in lens):
             d = buf[off:off + ln]
             assert d[:4] == b"\x53\x04\x08\x06"
             n_items = int.from_bytes(d[6:8], "big")
-            assert n_items == 5
+            assert n_items == 6
             items = {}
             for j in range(n_items):
                 ptr = int.from_bytes(d[8 + 8 * j:16 + 8 * j], "big")
                 assert ptr >> 63 == 1                  # immediate
                 items[(ptr >> 48) & 0x7FFF] = ptr & ((1 << 48) - 1)
             assert items[0x01] == 99                   # heap id
+            assert items[0x02] == 250                  # heap length
             assert items[0x03] == i * 100              # payload offset
             assert items[0x1600] == 12345
             assert items[0x3101] == 7
@@ -448,25 +449,45 @@ class TestSpeadTransmit:
             off += ln
 
     def test_transmitter_dump(self):
-        """SpeadTransmitter ships a runner Dump as one heap and a
-        loopback assembler reconstructs the visibility bytes."""
+        """SpeadTransmitter ships a runner Dump as one heap (timestamp
+        in sample ticks = first_chunk * ticks_per_chunk) and a loopback
+        assembler reconstructs the visibility bytes exactly."""
         from dc_sand_tpu.runtime import SpeadTransmitter
         from dc_sand_tpu.runtime.runner import Dump
         rng = np.random.default_rng(3)
         vis = rng.integers(-2**31, 2**31, (6, 2, 2, 32, 2),
                            dtype=np.int32)
+        nbytes = vis.nbytes
         dump = Dump(vis=vis, n_spectra=8, n_spectra_nominal=8,
                     first_chunk=4)
-        nbytes = vis.nbytes
-        rx = NativeIngest(1, 1, nbytes)
+        # enough ring depth that the dump's true timeline position
+        # (chunk 4) is inside the rx window
+        rx = NativeIngest(1, 1, nbytes, n_slots=6)
         tx = SpeadTransmitter(
             lambda buf, lens: rx.submit_spead_burst((buf, lens)),
-            max_payload=4096)
+            max_payload=4096, ticks_per_chunk=nbytes)
         n_pkts = tx.send_dump(dump)
         assert n_pkts == -(-nbytes // 4096)
         assert tx.heaps_sent == 1
-        got, fill = rx.retire(force=True)
-        # the dump timestamp (first_chunk=4) offsets placement by 4
-        # bytes on the rx timeline; compare the shifted payload
-        assert np.asarray(got).ravel()[4:].tobytes() == \
-            vis.tobytes()[:nbytes - 4]
+        for _ in range(4):                 # chunks 0-3: nothing sent
+            _empty, fill = rx.retire(force=True)
+            assert fill == 0.0
+        got, fill = rx.retire(force=True)  # chunk 4: the dump heap
+        assert fill == 1.0
+        assert np.asarray(got).tobytes() == vis.tobytes()
+
+    def test_burst_two_datagram_tuple(self):
+        """A 2-tuple of raw datagram BYTES is a burst of two packets,
+        not a (blob, lens) pair."""
+        from dc_sand_tpu.runtime import spead_packetize
+        c = 64
+        ref = np.arange(c, dtype=np.int8)
+        buf, lens = spead_packetize(ref, timestamp=0, stream=0,
+                                    max_payload=32)
+        assert len(lens) == 2
+        d1, d2 = buf[:int(lens[0])], buf[int(lens[0]):]
+        ing = NativeIngest(1, 1, c)
+        assert ing.submit_spead_burst((d1, d2)) == 2
+        chunk, fill = ing.retire()
+        assert fill == 1.0
+        np.testing.assert_array_equal(chunk[0, 0], ref)
