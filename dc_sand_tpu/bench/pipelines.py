@@ -141,42 +141,70 @@ def bench_fengine(n_streams: int = 16, n_spectra: int = 512,
     ).finish()
 
 
+def _step_bench_setup(preset: str, taps: int, weights, **overrides):
+    """Shared setup for the end-to-end step benches: config + jitted
+    production step (coarse delay on the host/ingest path) + staged
+    device inputs.  Returns (cfg, step, history, vis_acc, chunk, rest)
+    with ``rest = (coarse, frac, phase, gains, weights, reset)``."""
+    from dc_sand_tpu.config import get_config
+    from dc_sand_tpu.models.pipeline import (make_step, zero_vis_acc,
+                                             uses_frames_io,
+                                             history_shape, chunk_shape)
+
+    cfg = get_config(preset).replace(**overrides)
+    window = pfb_window(taps, cfg.fft_size)
+    step = make_step(cfg, window, max_delay=0, mesh=None,
+                     impl="auto", donate=False, coarse_on_host=True)
+    a, p, k, b = (cfg.n_ants, cfg.n_pols, cfg.n_chans,
+                  cfg.spectra_per_chunk)
+    fio = uses_frames_io(cfg, "auto", 0)
+    history = jnp.zeros(history_shape(cfg, 0, fio), jnp.int8)
+    vis_acc = zero_vis_acc(cfg)
+    # stage the chunk on device via PRNG (host->device rides a slow
+    # tunnel on this dev box; see bench_fengine)
+    chunk = jax.block_until_ready(jax.jit(
+        lambda: (jax.random.normal(jax.random.key(0),
+                                   chunk_shape(cfg, fio)) * 30)
+        .astype(jnp.int8))())
+    rest = (jnp.zeros((a, p), jnp.int32),
+            jnp.zeros((a, p, b), jnp.float32),
+            jnp.zeros((a, p, b), jnp.float32),
+            jnp.asarray(np.stack([np.full((k,), 0.05, np.float32),
+                                  np.zeros((k,), np.float32)], -1)),
+            weights, jnp.asarray(False))
+    return cfg, step, history, vis_acc, chunk, rest
+
+
+def _time_compiled_scan(loop, history, vis_acc, chunk, rest,
+                        iters: int) -> float:
+    """Valid-protocol timing of a scan ``loop``: compile, one warm
+    dispatch (this backend charges minutes for an executable's first
+    real execution), then ONE timed dispatch on a bumped chunk so the
+    result cache cannot serve it.  Returns wall seconds per iteration;
+    asserts the checksum is finite (NaN would mean dead compute)."""
+    import time as _time
+
+    compiled = jax.jit(loop).lower(history, vis_acc, chunk,
+                                   *rest).compile()
+    np.asarray(compiled(history, vis_acc, chunk, *rest))  # server warm
+    ch1 = jax.block_until_ready(jax.jit(lambda v: v + 1)(chunk))
+    t0 = _time.perf_counter()
+    val = np.asarray(compiled(history, vis_acc, ch1, *rest))
+    wall = (_time.perf_counter() - t0) / iters
+    assert val == val, "NaN checksum"
+    return wall
+
+
 def bench_fx_step(n_ants: int = 64, n_pols: int = 2, n_chans: int = 1024,
                   n_spectra: int = 256, taps: int = 16,
                   iters: int = 64) -> BenchResult:
     """End-to-end single-chip FX streaming step (the flagship path:
     full F-engine -> local corner-turn -> X-engine CMAC + accumulate),
     i.e. ``__graft_entry__.entry``'s program under the valid protocol."""
-    from dc_sand_tpu.config import get_config
-    from dc_sand_tpu.models.pipeline import (make_step, history_len,
-                                             zero_vis_acc)
-    from dc_sand_tpu.golden.chain import baseline_pairs
-
-    cfg = get_config("fx64").replace(n_ants=n_ants, n_pols=n_pols,
-                                     n_chans=n_chans,
-                                     spectra_per_chunk=n_spectra)
-    # production step: coarse delay rides the host/ingest feed path
-    window = pfb_window(taps, cfg.fft_size)
-    step = make_step(cfg, window, max_delay=0, mesh=None,
-                     impl="auto", donate=False, coarse_on_host=True)
     a, p, k, b = n_ants, n_pols, n_chans, n_spectra
-    n_bl = len(baseline_pairs(a))
-    from dc_sand_tpu.models.pipeline import (uses_frames_io,
-                                             history_shape, chunk_shape)
-    fio = uses_frames_io(cfg, "auto", 0)
-    history = jnp.zeros(history_shape(cfg, 0, fio), jnp.int8)
-    vis_acc = zero_vis_acc(cfg)
-    chunk = jax.block_until_ready(jax.jit(
-        lambda: (jax.random.normal(jax.random.key(0),
-                                   chunk_shape(cfg, fio)) * 30)
-        .astype(jnp.int8))())
-    coarse = jnp.zeros((a, p), jnp.int32)
-    frac = jnp.zeros((a, p, b), jnp.float32)
-    phase = jnp.zeros((a, p, b), jnp.float32)
-    gains = jnp.asarray(np.stack([np.full((k,), 0.05, np.float32),
-                                  np.zeros((k,), np.float32)], -1))
-    weights = jnp.zeros((1, a, k, 2), jnp.float32)
-    reset = jnp.asarray(False)
+    cfg, step, history, vis_acc, chunk, rest = _step_bench_setup(
+        "fx64", taps, jnp.zeros((1, a, k, 2), jnp.float32),
+        n_ants=a, n_pols=p, n_chans=k, spectra_per_chunk=b)
 
     # Production semantics: history and the visibility accumulator are a
     # DONATED carry (the runner updates them in place every chunk), so
@@ -186,15 +214,13 @@ def bench_fx_step(n_ants: int = 64, n_pols: int = 2, n_chans: int = 1024,
     # chunk, ~3 ms/chunk the real streaming path never pays.  The chunk
     # gets the usual data-dependent bump; the carried accumulator chains
     # iterations, defeating result caching.
-    import time as _time
-
-    def loop(hist0, acc0, ch0, *rest):
+    def loop(hist0, acc0, ch0, *rest_):
         def body(carry, i):
             hist, acc, ch = carry
             # data-dependent per-iteration chunk (alternating) so the
             # F-engine cannot be hoisted as loop-invariant
             ch = ch.at[(0,) * ch.ndim].add((i % 2).astype(ch.dtype))
-            hist, acc, _outs = step(hist, acc, ch, *rest)
+            hist, acc, _outs = step(hist, acc, ch, *rest_)
             return (hist, acc, ch), ()
 
         (hist, acc, _), _ = jax.lax.scan(
@@ -207,15 +233,8 @@ def bench_fx_step(n_ants: int = 64, n_pols: int = 2, n_chans: int = 1024,
         return (hist.ravel()[0].astype(jnp.float32)
                 + acc.ravel()[0].astype(jnp.float32))
 
-    rest = (coarse, frac, phase, gains, weights, reset)
-    compiled = jax.jit(loop).lower(history, vis_acc, chunk,
-                                   *rest).compile()
-    np.asarray(compiled(history, vis_acc, chunk, *rest))  # server warm
-    ch1 = jax.block_until_ready(jax.jit(lambda v: v + 1)(chunk))
-    t0 = _time.perf_counter()
-    val = np.asarray(compiled(history, vis_acc, ch1, *rest))
-    wall = (_time.perf_counter() - t0) / iters
-    assert val == val, "NaN checksum"
+    wall = _time_compiled_scan(loop, history, vis_acc, chunk, rest,
+                               iters)
     samples = a * p * cfg.chunk_samples
     return BenchResult(
         name="fx_step_64ant",
@@ -283,42 +302,19 @@ def bench_beam_step(n_ants: int = 64, n_pols: int = 2,
     Every iteration's beam outputs feed the checksum — beam mode has no
     carried accumulator, so an unconsumed output would let XLA delete
     the whole B-engine (the DCE hazard bench_fx_step documents)."""
-    from dc_sand_tpu.config import get_config
-    from dc_sand_tpu.models.pipeline import (make_step, zero_vis_acc,
-                                             uses_frames_io,
-                                             history_shape, chunk_shape)
-
-    cfg = get_config("beam64").replace(
-        n_ants=n_ants, n_pols=n_pols, n_chans=n_chans, n_beams=n_beams,
-        spectra_per_chunk=n_spectra)
-    window = pfb_window(taps, cfg.fft_size)
-    step = make_step(cfg, window, max_delay=0, mesh=None, impl="auto",
-                     donate=False, coarse_on_host=True)
     a, p, k, b = n_ants, n_pols, n_chans, n_spectra
-    fio = uses_frames_io(cfg, "auto", 0)
-    history = jnp.zeros(history_shape(cfg, 0, fio), jnp.int8)
-    vis_acc = zero_vis_acc(cfg)
-    chunk = jax.block_until_ready(jax.jit(
-        lambda: (jax.random.normal(jax.random.key(0),
-                                   chunk_shape(cfg, fio)) * 30)
-        .astype(jnp.int8))())
     rng = np.random.default_rng(3)
-    coarse = jnp.zeros((a, p), jnp.int32)
-    frac = jnp.zeros((a, p, b), jnp.float32)
-    phase = jnp.zeros((a, p, b), jnp.float32)
-    gains = jnp.asarray(np.stack([np.full((k,), 0.05, np.float32),
-                                  np.zeros((k,), np.float32)], -1))
     weights = jnp.asarray(
         rng.normal(size=(n_beams, a, k, 2)).astype(np.float32) * 0.1)
-    reset = jnp.asarray(False)
+    cfg, step, history, vis_acc, chunk, rest = _step_bench_setup(
+        "beam64", taps, weights, n_ants=a, n_pols=p, n_chans=k,
+        n_beams=n_beams, spectra_per_chunk=b)
 
-    import time as _time
-
-    def loop(hist0, acc0, ch0, *rest):
+    def loop(hist0, acc0, ch0, *rest_):
         def body(carry, i):
             hist, acc, ch, s = carry
             ch = ch.at[(0,) * ch.ndim].add((i % 2).astype(ch.dtype))
-            hist, acc, outs = step(hist, acc, ch, *rest)
+            hist, acc, outs = step(hist, acc, ch, *rest_)
             for leaf in jax.tree_util.tree_leaves(outs):
                 s = s + jax.lax.optimization_barrier(
                     leaf).ravel()[0].astype(jnp.float32)
@@ -329,15 +325,8 @@ def bench_beam_step(n_ants: int = 64, n_pols: int = 2,
             jnp.arange(iters))
         return s + hist.ravel()[0].astype(jnp.float32)
 
-    rest = (coarse, frac, phase, gains, weights, reset)
-    compiled = jax.jit(loop).lower(history, vis_acc, chunk,
-                                   *rest).compile()
-    np.asarray(compiled(history, vis_acc, chunk, *rest))  # server warm
-    ch1 = jax.block_until_ready(jax.jit(lambda v: v + 1)(chunk))
-    t0 = _time.perf_counter()
-    val = np.asarray(compiled(history, vis_acc, ch1, *rest))
-    wall = (_time.perf_counter() - t0) / iters
-    assert val == val, "NaN checksum"
+    wall = _time_compiled_scan(loop, history, vis_acc, chunk, rest,
+                               iters)
     samples = a * p * cfg.chunk_samples
     out_bytes = (n_beams + 1) * p * b * k * 8
     return BenchResult(
