@@ -120,6 +120,9 @@ def bench_scaling(max_devices: int = 8, n_ants: int = 16,
                    "per_device_rate": per_dev,
                    "efficiency_vs_1dev": eff,
                    "platform": mesh.devices.flat[0].platform},
-        ).finish())
+        # stamp the MESH's platform, not detect_chip()'s: on this dev
+        # box the axon TPU is always visible, so a CPU-mesh sweep would
+        # otherwise be labelled chip=v5e
+        ).finish(chip=mesh.devices.flat[0].platform))
         d *= 2
     return results
