@@ -266,6 +266,7 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if getattr(args, "cpu", False):
         import jax
+        jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_device", "cpu")
     if getattr(args, "distributed", False):
         from dc_sand_tpu.parallel.distributed import init_distributed

@@ -26,6 +26,7 @@ def main() -> int:
     args = ap.parse_args()
     if args.cpu:
         import jax
+        jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_device", "cpu")
 
     from dc_sand_tpu import golden

@@ -20,6 +20,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    # Some TPU plugins force-register regardless of JAX_PLATFORMS;
+    # honouring the env var requires re-pinning inside jax (conftest.py).
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_device", "cpu")
+
 
 def main() -> int:
     from dc_sand_tpu.config import get_config

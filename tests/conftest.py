@@ -5,8 +5,11 @@ on a simulated mesh — the TPU-world equivalent of the reference's missing
 multi-node rig.
 
 Note: this dev box presets ``JAX_PLATFORMS=axon`` (tunnelled TPU) and the
-axon plugin registers regardless of ``JAX_PLATFORMS``, so restricting
-platforms is not enough — we must pin ``jax_default_device`` to cpu.
+axon plugin's ``register()`` force-sets ``jax_platforms="axon,cpu"`` at
+interpreter start, so the env var alone cannot restrict platforms. Pin
+BOTH ``jax_platforms`` (so backend init never dials the tunnel — a dead
+tunnel otherwise hangs every test) and ``jax_default_device`` (which
+``ops._dispatch`` / ``parallel.mesh`` honour for placement).
 """
 
 import os
@@ -21,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_device", "cpu")
 
 
