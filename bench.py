@@ -18,7 +18,36 @@ import os
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _require_device(timeout_s: float = 300.0):
+    """Initialise the jax backend with a deadline.
+
+    Backend init dials the tunnelled TPU service on this machine; when
+    the tunnel is down the PJRT client retries forever, which would hang
+    the driver's bench run silently.  Probe from a daemon thread and
+    fail loudly instead.  On success the initialised backend is cached
+    process-wide, so the main thread reuses it.
+    """
+    import threading
+
+    out: list = []
+
+    def probe() -> None:
+        import jax
+        out.append(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not out:
+        print(f"bench.py: jax backend init did not complete within "
+              f"{timeout_s:.0f}s — TPU tunnel unreachable?",
+              file=sys.stderr)
+        raise SystemExit(2)
+    return out[0]
+
+
 def main() -> None:
+    _require_device()
     from dc_sand_tpu.bench.pipelines import (bench_fengine,
                                              REALTIME_FLOOR_PER_CHIP)
 
