@@ -30,14 +30,22 @@ def _require_device(timeout_s: float = 300.0):
     import threading
 
     out: list = []
+    err: list = []
 
     def probe() -> None:
-        import jax
-        out.append(jax.devices())
+        try:
+            import jax
+            out.append(jax.devices())
+        except BaseException as e:   # report the real failure, not a
+            err.append(e)            # misdiagnosed "timeout"
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
+    if err:
+        print(f"bench.py: jax backend init failed: "
+              f"{type(err[0]).__name__}: {err[0]}", file=sys.stderr)
+        raise SystemExit(2)
     if not out:
         print(f"bench.py: jax backend init did not complete within "
               f"{timeout_s:.0f}s — TPU tunnel unreachable?",
@@ -69,10 +77,13 @@ def main() -> None:
     try:
         rdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench", "results")
+        # order by the RECORDED timestamp in the filename (as
+        # bench/regress.py does) — file mtimes are checkout times on a
+        # fresh clone, which would make "newest" arbitrary
         recs = sorted((f for f in os.listdir(rdir)
                        if f.startswith("fx_step_64ant_")),
-                      key=lambda f: os.path.getmtime(
-                          os.path.join(rdir, f)))
+                      key=lambda f: int(f.rsplit("_", 1)[1]
+                                        .split(".")[0]))
         # the newest record's commit identifies the current kernel; the
         # best chunk-size variant within that batch is the headline
         # (512-spectra chunks amortise accumulator traffic better than

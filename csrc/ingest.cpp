@@ -103,6 +103,10 @@ struct Ingest {
   std::vector<int64_t> delays;
   int64_t max_delay = 0;  // retained for validation only
   std::atomic<uint64_t> packets_ok{0}, packets_late{0}, packets_bad{0};
+  // placed only PARTIALLY: some chunk segment was dropped (borrowed-slot
+  // wrap) while another landed — consumer-too-slow data loss that
+  // packets_ok alone would hide
+  std::atomic<uint64_t> packets_clipped{0};
   std::mutex mu;
 
   uint64_t chunk_bytes() const {
@@ -260,7 +264,8 @@ int submit_locked(Ingest* ig, int ant, int pol, uint64_t timestamp,
         c % ig->n_slots == uint64_t(ig->borrowed_chunk) % ig->n_slots) {
       // the ring wrapped onto a slot still lent out by retire_view —
       // the consumer is too slow; drop rather than corrupt (counted
-      // once per packet below, not per chunk segment)
+      // once per packet below — packets_bad if wholly discarded,
+      // packets_clipped if another segment still landed)
       any_dropped = true;
       continue;
     }
@@ -288,6 +293,7 @@ int submit_locked(Ingest* ig, int ant, int pol, uint64_t timestamp,
     ig->packets_bad++;   // wholly discarded (borrowed-slot wrap)
     return -3;
   }
+  if (any_dropped) ig->packets_clipped++;  // placed, but lost a segment
   ig->packets_ok++;      // placed (at least partially)
   return 0;
 }
@@ -355,6 +361,20 @@ long long ingest_submit_spead(void* h, const uint8_t* data, uint64_t len,
     else if (id == 0x03) { heap_off = val; }   // payload offset (bytes)
   }
   if (!have_ts || !have_stream || payload_len == 0) {
+    ig->packets_bad++;
+    return -4;
+  }
+  if (format == 1 && (heap_off % 5 != 0 || payload_len % 5 != 0)) {
+    // 10-bit payloads pack 4 samples per 5 bytes: a heap split off a
+    // group boundary would decode shifted garbage at a wrong sample
+    // index (silently — fill would still reach 1.0).  The encoder side
+    // enforces max_payload % 5 == 0; reject foreign senders that don't.
+    ig->packets_bad++;
+    return -4;
+  }
+  if (stream >= uint64_t(ig->n_ants) * uint64_t(ig->n_pols)) {
+    // bounds-check BEFORE the int cast: a hostile/corrupt 48-bit stream
+    // id could otherwise wrap modulo 2^32 into a valid antenna index
     ig->packets_bad++;
     return -4;
   }
@@ -520,17 +540,32 @@ long long ingest_retire_view(void* h, int8_t** out, int force) {
   return fill;
 }
 
+// 1 if the tail chunk is COMPLETE (every byte covered by a packet) and
+// retirable, 0 otherwise.  Lets a multi-assembler consumer check ALL
+// workers BEFORE retiring any — a non-force retire that fails midway
+// would otherwise leave the workers desynchronised by one chunk.
+int ingest_tail_complete(void* h) {
+  auto* ig = static_cast<Ingest*>(h);
+  std::lock_guard<std::mutex> lock(ig->mu);
+  if (ig->borrowed_chunk >= 0) return 0;
+  ChunkSlot& slot = ig->slot_for(ig->window_tail_chunk);
+  return (slot.in_window && slot.filled_bytes == ig->chunk_bytes())
+             ? 1 : 0;
+}
+
 void ingest_release(void* h) {
   auto* ig = static_cast<Ingest*>(h);
   std::lock_guard<std::mutex> lock(ig->mu);
   ig->borrowed_chunk = -1;
 }
 
-void ingest_stats(void* h, uint64_t* ok, uint64_t* late, uint64_t* bad) {
+void ingest_stats(void* h, uint64_t* ok, uint64_t* late, uint64_t* bad,
+                  uint64_t* clipped) {
   auto* ig = static_cast<Ingest*>(h);
   *ok = ig->packets_ok.load();
   *late = ig->packets_late.load();
   *bad = ig->packets_bad.load();
+  *clipped = ig->packets_clipped.load();
 }
 
 }  // extern "C"

@@ -120,9 +120,11 @@ def bench_scaling(max_devices: int = 8, n_ants: int = 16,
                    "per_device_rate": per_dev,
                    "efficiency_vs_1dev": eff,
                    "platform": mesh.devices.flat[0].platform},
-        # stamp the MESH's platform, not detect_chip()'s: on this dev
-        # box the axon TPU is always visible, so a CPU-mesh sweep would
-        # otherwise be labelled chip=v5e
-        ).finish(chip=mesh.devices.flat[0].platform))
+        # a CPU-mesh sweep must not be labelled with detect_chip()'s
+        # answer (the tunnelled TPU is always visible on the dev box);
+        # on a real TPU mesh keep detect_chip() — device.platform is
+        # just "tpu", which would lose the chip kind and the roofline
+        ).finish(chip="cpu" if mesh.devices.flat[0].platform == "cpu"
+                 else None))
         d *= 2
     return results

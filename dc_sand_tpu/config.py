@@ -129,8 +129,14 @@ class ChainConfig:
         return self.spectra_per_chunk * self.fft_size
 
     def config_hash(self) -> str:
-        """Stable short hash for bench-result provenance (BASELINE.md §40+)."""
-        payload = json.dumps(dataclasses.asdict(self), sort_keys=True)
+        """Stable short hash for bench-result provenance (BASELINE.md §40+).
+
+        ``None``-valued fields are dropped before hashing so adding an
+        optional knob (default ``None`` = previous behaviour) does not
+        invalidate every existing checkpoint/record hash."""
+        payload = json.dumps(
+            {k: v for k, v in dataclasses.asdict(self).items()
+             if v is not None}, sort_keys=True)
         return hashlib.sha256(payload.encode()).hexdigest()[:12]
 
     def replace(self, **kw) -> "ChainConfig":

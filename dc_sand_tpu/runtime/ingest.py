@@ -58,6 +58,8 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_int8)),
         ctypes.c_int]
     lib.ingest_release.argtypes = [ctypes.c_void_p]
+    lib.ingest_tail_complete.restype = ctypes.c_int
+    lib.ingest_tail_complete.argtypes = [ctypes.c_void_p]
     lib.ingest_submit_spead.restype = ctypes.c_longlong
     lib.ingest_submit_spead.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64,
@@ -68,7 +70,7 @@ def load_library() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
         ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.ingest_stats.argtypes = [ctypes.c_void_p] + \
-        [ctypes.POINTER(ctypes.c_uint64)] * 3
+        [ctypes.POINTER(ctypes.c_uint64)] * 4
     lib.spead_encode.restype = ctypes.c_longlong
     lib.spead_encode.argtypes = [
         ctypes.c_char_p, ctypes.c_uint64,
@@ -131,23 +133,39 @@ def multi_ingest_source(ingests, cfg=None, force: bool = True,
             frames = (cfg.spectra_per_chunk, 2 * cfg.n_chans)
 
     def source(_chunk_idx: int):
+        if not force:
+            # check ALL workers before retiring ANY: a retire that fails
+            # midway would consume chunks from the earlier ingests and
+            # desynchronise the workers by one chunk
+            for ing in ingests:
+                if not ing.tail_complete():
+                    raise RuntimeError(
+                        "multi_ingest_source(force=False): a worker's "
+                        "tail chunk is incomplete")
         parts = []
-        for ing in ingests:
-            view, _fill = ing.retire_view(force=force)
-            if view is None:
-                raise RuntimeError(
-                    "multi_ingest_source(force=False): a worker's tail "
-                    "chunk is incomplete")
-            if frames is not None:
-                aw, p, _t = view.shape
-                view = view.reshape(aw * p, *frames)
-            parts.append(jnp.asarray(view))
-        # the transfers MUST complete before the slots return to the
-        # ring: jnp.asarray may copy asynchronously, and a released
-        # slot can be overwritten by the receiver threads immediately
-        jax.block_until_ready(parts)
-        for ing in ingests:
-            ing.release()
+        borrowed = []
+        try:
+            for ing in ingests:
+                view, _fill = ing.retire_view(force=force)
+                if view is None:
+                    raise RuntimeError(
+                        "multi_ingest_source(force=False): a worker's "
+                        "tail chunk is incomplete")
+                borrowed.append(ing)
+                if frames is not None:
+                    aw, p, _t = view.shape
+                    view = view.reshape(aw * p, *frames)
+                parts.append(jnp.asarray(view))
+        finally:
+            # the transfers MUST complete before the slots return to
+            # the ring: jnp.asarray may copy asynchronously, and a
+            # released slot can be overwritten by the receiver threads
+            # immediately.  Release in a finally so a failed retire
+            # (incomplete tail with force=False) cannot leave earlier
+            # ingests' slots lent out forever.
+            jax.block_until_ready(parts)
+            for ing in borrowed:
+                ing.release()
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
                                                                 axis=0)
 
@@ -156,7 +174,8 @@ def multi_ingest_source(ingests, cfg=None, force: bool = True,
 
 def spead_packetize(payload, timestamp: int, stream: int, *,
                     heap_id: int = 0, max_payload: int = 8192,
-                    ts_id: int = 0x1600, stream_id: int = 0x3101):
+                    ts_id: int = 0x1600, stream_id: int = 0x3101,
+                    align: int = 1):
     """Packetize one heap into SPEAD-64-48 datagrams (native encoder,
     ``csrc/ingest.cpp:spead_encode`` — the transmit mirror of
     :meth:`NativeIngest.submit_spead`).
@@ -169,8 +188,16 @@ def spead_packetize(payload, timestamp: int, stream: int, *,
     datagrams stored back to back — the exact burst shape
     :meth:`NativeIngest.submit_spead_burst` (loopback tests) or a
     ``sendmmsg()`` UDP loop (deployment) consumes.
+
+    ``align`` forces payload split points to multiples of that many
+    bytes: 10-bit packed streams (4 samples / 5 bytes) must pass
+    ``align=5`` — the decoder rejects heaps split off a group boundary.
     """
     lib = load_library()
+    if align > 1:
+        if max_payload < align:
+            raise ValueError(f"max_payload {max_payload} < align {align}")
+        max_payload -= max_payload % align
     # zero-copy view of the payload; the only copy on this path is the
     # packet build itself (native memcpy into the datagram buffer)
     data = np.ascontiguousarray(
@@ -380,14 +407,26 @@ class NativeIngest:
         must no longer be read)."""
         self._lib.ingest_release(self._h)
 
+    def tail_complete(self) -> bool:
+        """True if the oldest chunk is fully covered and retirable —
+        a peek, consuming nothing (multi-assembler consumers check all
+        workers before retiring any)."""
+        return bool(self._lib.ingest_tail_complete(self._h))
+
     def stats(self):
         ok = ctypes.c_uint64()
         late = ctypes.c_uint64()
         bad = ctypes.c_uint64()
+        clipped = ctypes.c_uint64()
         self._lib.ingest_stats(self._h, ctypes.byref(ok),
-                               ctypes.byref(late), ctypes.byref(bad))
+                               ctypes.byref(late), ctypes.byref(bad),
+                               ctypes.byref(clipped))
         return {"packets_ok": ok.value, "packets_late": late.value,
-                "packets_bad": bad.value}
+                "packets_bad": bad.value,
+                # placed but lost a chunk segment to a borrowed-slot
+                # wrap: consumer-too-slow data loss, invisible in
+                # packets_ok/bad alone
+                "packets_clipped": clipped.value}
 
     def __del__(self):
         try:

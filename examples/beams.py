@@ -27,7 +27,9 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--impl", default="auto")
     args = ap.parse_args()
-    if args.cpu:
+    if args.cpu or os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # plugin force-registers regardless of JAX_PLATFORMS; re-pin
+        # inside jax (see tests/conftest.py)
         import jax
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_device", "cpu")
@@ -94,6 +96,7 @@ def main() -> int:
     # full coherence: on-source beam power ~= N * incoherent sum
     ok = p_on > 0.8 * n_ants * p_inc and gain > n_ants
     print("beam steering " + ("COHERENT" if ok else "NOT coherent"))
+    print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 
 

@@ -24,7 +24,9 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--impl", default="auto")
     args = ap.parse_args()
-    if args.cpu:
+    if args.cpu or os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # plugin force-registers regardless of JAX_PLATFORMS; re-pin
+        # inside jax (see tests/conftest.py)
         import jax
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_device", "cpu")
@@ -80,6 +82,7 @@ def main() -> int:
     ok = worst < 0.05
     print(f"\nworst cross phase: {worst:.4f} rad -> "
           f"{'fringes stopped' if ok else 'NOT stopped'}")
+    print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 
 

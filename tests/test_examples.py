@@ -14,7 +14,9 @@ _EX = os.path.join(os.path.dirname(os.path.dirname(
 
 @pytest.mark.parametrize("script", ["fx_observation.py",
                                     "beam_pointing.py",
-                                    "spead_loopback.py"])
+                                    "spead_loopback.py",
+                                    "observe.py",
+                                    "beams.py"])
 def test_example_passes(script):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run([sys.executable, os.path.join(_EX, script)],

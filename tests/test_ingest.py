@@ -186,6 +186,86 @@ class TestAssembler:
         np.testing.assert_array_equal(view[0, 0], 9)  # view intact
         ing.release()
 
+    def test_borrowed_slot_straddle_counts_clipped(self):
+        """A packet placed in one chunk but clipped in another (its
+        segment wrapped onto a borrowed slot) counts packets_clipped —
+        partial data loss must not hide behind packets_ok."""
+        a, p, c = 1, 1, 16
+        ing = NativeIngest(a, p, c, n_slots=2)
+        ing.submit(0, 0, 0, np.full((c,), 9, np.int8).tobytes())
+        view, _ = ing.retire_view()          # borrows chunk 0's slot
+        # straddles chunks 1 and 2; chunk 2 maps to the borrowed slot
+        ing.submit(0, 0, c + 8, np.full((c,), 5, np.int8).tobytes())
+        st = ing.stats()
+        assert st["packets_clipped"] == 1
+        assert st["packets_ok"] == 2         # both placed (one partially)
+        ing.release()
+        chunk, _ = ing.retire(force=True)    # chunk 1: tail got its half
+        ref = np.zeros((c,), np.int8)
+        ref[8:] = 5
+        np.testing.assert_array_equal(chunk[0, 0], ref)
+
+    def test_spead_stream_id_out_of_range(self):
+        """Out-of-range (incl. 2^32-wrapping) stream ids are rejected
+        before the int cast can alias them onto a valid antenna."""
+        a, p, c = 4, 2, 32
+        ing = NativeIngest(a, p, c)
+        pay = np.full((c,), 3, np.int8).tobytes()
+        for stream in (a * p,                      # one past the end
+                       p * ((1 << 32) + 3)):       # wraps to ant 3
+            d = _spead_packet({0x1600: 0, 0x3101: stream, 0x03: 0}, pay)
+            assert ing.submit_spead(d) == -4
+        st = ing.stats()
+        assert st["packets_bad"] == 2 and st["packets_ok"] == 0
+        chunk, fill = ing.retire(force=True)
+        np.testing.assert_array_equal(chunk, 0)   # nothing aliased in
+
+    def test_spead_10bit_group_alignment(self):
+        """10-bit heaps split off a 5-byte group boundary are rejected
+        (silent shifted-garbage decode otherwise); spead_packetize
+        align=5 produces split points the decoder accepts."""
+        from dc_sand_tpu.runtime.ingest import spead_packetize
+        a, p, c = 1, 1, 64
+        ing = NativeIngest(a, p, c)
+        rng = np.random.default_rng(4)
+        s10 = rng.integers(-512, 512, size=c)
+        packed = _pack_10bit(s10)                  # 80 bytes
+        # unaligned payload offset (8 % 5 != 0) and unaligned length
+        bad_off = _spead_packet({0x1600: 0, 0x3101: 0, 0x03: 8},
+                                packed[8:])
+        assert ing.submit_spead(bad_off,
+                                fmt=NativeIngest.FORMAT_10BIT) == -4
+        bad_len = _spead_packet({0x1600: 0, 0x3101: 0, 0x03: 0},
+                                packed[:12])
+        assert ing.submit_spead(bad_len,
+                                fmt=NativeIngest.FORMAT_10BIT) == -4
+        # align=5 rounds max_payload 12 -> 10: 8 aligned datagrams
+        buf, lens = spead_packetize(packed, 0, 0, max_payload=12,
+                                    align=5)
+        assert ing.submit_spead_burst(
+            (buf, lens), fmt=NativeIngest.FORMAT_10BIT) == len(lens)
+        chunk, fill = ing.retire()
+        assert fill == 1.0
+        np.testing.assert_array_equal(chunk[0, 0],
+                                      (s10 >> 2).astype(np.int8))
+
+    def test_multi_ingest_source_releases_on_error(self):
+        """A failed retire (incomplete tail, force=False) must not leave
+        earlier ingests' slots lent out — the next call, once data
+        arrives, succeeds."""
+        from dc_sand_tpu.runtime.ingest import multi_ingest_source
+        a_w, p, c = 1, 1, 32
+        ings = [NativeIngest(a_w, p, c) for _ in range(2)]
+        full = np.full((c,), 7, np.int8).tobytes()
+        ings[0].submit(0, 0, 0, full)              # complete
+        ings[1].submit(0, 0, 0, full[: c // 2])    # half-filled
+        src = multi_ingest_source(ings, force=False)
+        with pytest.raises(RuntimeError, match="incomplete"):
+            src(0)
+        ings[1].submit(0, 0, c // 2, full[c // 2:])
+        out = np.asarray(src(0))                   # no leaked slot
+        np.testing.assert_array_equal(out, 7)
+
     def test_spead_datagram_roundtrip(self):
         """SPEAD-64-48 decode vs a NumPy reference packer: immediate
         timestamp/stream items route the payload exactly like a direct
