@@ -52,10 +52,9 @@ def cmd_verify(args) -> int:
         # spectra/dump); golden compared on a random baseline subset
         kw = dict(spectra_per_chunk=None, n_spectra_per_acc=None,
                   baseline_subset=128)
-    snrs = verify_config(args.config, scale=args.scale, mesh=mesh,
-                         impl=args.impl, time_shards=args.time_shards,
-                         stage2=args.stage2, **kw)
-    counters = snrs.pop("_counters", None)
+    snrs, counters = verify_config(
+        args.config, scale=args.scale, mesh=mesh, impl=args.impl,
+        time_shards=args.time_shards, stage2=args.stage2, **kw)
     ok = all(v > SNR_BOUND for v in snrs.values())
     for stage, v in snrs.items():
         mark = "PASS" if v > SNR_BOUND else "FAIL"

@@ -26,6 +26,12 @@ def coarse_delay(x: jax.Array, delays: jax.Array, max_delay: int) -> jax.Array:
     stream delayed by d reads starting at ``max_delay - d``.  Implemented
     as a vmapped ``dynamic_slice`` — delays may be traced values (they
     change per chunk under jit).
+
+    Out-of-range delays CLAMP to ``[0, max_delay]`` (``dynamic_slice``
+    start-index semantics — a traced value cannot raise), unlike the
+    golden model's ``ValueError``; :class:`~dc_sand_tpu.runtime.delays.
+    DelayModel` clips at evaluation so runner-fed delays never hit the
+    clamp.  Direct callers must bound their own delays.
     """
     lead = x.shape[:-1]
     t_len = x.shape[-1]

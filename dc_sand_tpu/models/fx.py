@@ -83,6 +83,9 @@ def make_sharded_fx_step(mesh, window, taps: int, n_chans: int,
         step, mesh=mesh,
         in_specs=(a, a, a, P(), a),
         out_specs=P(None, None, None, FX_AXIS),
+        # pallas_call (the fused F-engine under impl='auto'/'fused')
+        # can't declare its varying mesh axes (see models/pipeline.py)
+        check_vma=False,
     )
     return jax.jit(shard)
 
@@ -113,5 +116,7 @@ def make_time_sharded_fengine(mesh, window, taps: int, n_chans: int, *,
         step, mesh=mesh,
         in_specs=(P(None, None, TIME_AXIS),),
         out_specs=P(None, None, TIME_AXIS),
+        # as above: the Pallas PFB-FIR path must trace under shard_map
+        check_vma=False,
     )
     return jax.jit(shard)

@@ -163,15 +163,19 @@ def mode_for(cfg: ChainConfig) -> str:
 
 def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
               mesh=None, impl: str = "auto", donate: bool = True,
-              coarse_on_host: bool = False):
+              coarse_on_host: bool = True):
     """Build the jitted streaming step for ``cfg`` (optionally SPMD).
 
-    ``coarse_on_host=True`` (the production mode, used by the runner)
-    skips the on-device coarse delay: integer-sample delay is a
-    read-pointer offset and belongs at the ingest boundary — the
-    device-side vmapped int8 gather costs ~7.8 ms per 64-ant chunk on
-    this chip, vs ~nothing as a host/ingest placement offset.  Only the
-    sub-sample residual (fine-delay phase ramp) runs on device.
+    ``coarse_on_host=True`` (the default and production mode, used by
+    the runner — and the default of :func:`uses_frames_io` /
+    :func:`history_shape` consumers) skips the on-device coarse delay:
+    integer-sample delay is a read-pointer offset and belongs at the
+    ingest boundary — the device-side vmapped int8 gather costs
+    ~7.8 ms per 64-ant chunk on this chip, vs ~nothing as a
+    host/ingest placement offset.  Only the sub-sample residual
+    (fine-delay phase ramp) runs on device.  Pass ``False`` (with
+    ``max_delay > 0``) to fold the integer gather into the device step
+    instead.
     """
     mode = mode_for(cfg)
     taps, n_chans = cfg.n_taps, cfg.n_chans
@@ -179,6 +183,13 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
     device_coarse = cfg.apply_delay and not coarse_on_host
 
     if cfg.time_shards > 1:
+        if max_delay:
+            # mirror history_len's guard: the SP step carries per-shard
+            # frame history only — silently ignoring max_delay would
+            # skip the coarse alignment and return wrong visibilities
+            raise ValueError(
+                "time-sharded (SP) mode requires coarse delay on the "
+                "host/ingest path (max_delay must be 0)")
         return _make_sp_step(cfg, window, mesh=mesh, impl=impl,
                              donate=donate)
 

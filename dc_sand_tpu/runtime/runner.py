@@ -86,14 +86,14 @@ class FXRunner:
             else np.zeros((max(cfg.n_beams, 1), a, k, 2), np.float32))
         from dc_sand_tpu.models.pipeline import (uses_frames_io,
                                                  history_shape)
-        dev_md = 0 if self.coarse_on_host else self.max_delay
         # frames I/O: carry/chunk cross the jit boundary in frame form
         # (A*P, nf, M) so the fused kernel reads them as separate HBM
         # refs — no [history|chunk] concat, no parameter relayout
-        self._frames_io = uses_frames_io(cfg, impl, dev_md,
+        self._frames_io = uses_frames_io(cfg, impl, self._dev_max_delay,
                                          self.coarse_on_host)
         self.history = jnp.zeros(
-            history_shape(cfg, dev_md, self._frames_io), jnp.int8)
+            history_shape(cfg, self._dev_max_delay, self._frames_io),
+            jnp.int8)
         self._host_tail = (np.zeros((a, p, self.max_delay), np.int8)
                            if self.coarse_on_host and self.max_delay
                            else None)
@@ -143,63 +143,21 @@ class FXRunner:
         ``drop_chunks``: chunk indices to fault-inject as zeros.
         """
         cfg = self.cfg
-        c_samp = cfg.chunk_samples
         b = cfg.spectra_per_chunk
         drop = frozenset(drop_chunks)
         dumps = []
-        zeros_chunk = None
         for _ in range(n_chunks):
             i = self.chunk_idx
-            dropped = i in drop
-            if dropped:
-                if zeros_chunk is None:
-                    zeros_chunk = np.zeros(
-                        (cfg.n_ants, cfg.n_pols, c_samp), np.int8)
-                chunk = zeros_chunk
-                self.counters.chunks_dropped += 1
-                logger.warning("chunk %d dropped (fault-injected)", i)
-            else:
-                chunk = source(i)
-            coarse, frac, phase = self.delay_model.evaluate_chunk(
-                self.t0, b, cfg.fft_size)
-            if self._host_tail is not None:
-                # host-side coarse delay: read-pointer offset into
-                # [tail | chunk]; the tail carries the previous chunk's
-                # last max_delay raw samples (zeros at stream start).
-                # Vectorised: a zero-copy sliding-window view over the
-                # concatenated buffer + one take_along_axis gather — no
-                # per-stream Python loop in the real-time feed path.
-                # (The truly free home for coarse delay is packet
-                # placement in the native ingest: NativeIngest.set_delay;
-                # see bench/ingest_bench.py for the at-rate comparison.)
-                buf = np.concatenate([self._host_tail, chunk], axis=-1)
-                md = self.max_delay
-                win = np.lib.stride_tricks.sliding_window_view(
-                    buf, c_samp, axis=-1)          # (A, P, md+1, c)
-                sel = (md - coarse.astype(np.int64))[..., None, None]
-                chunk = np.ascontiguousarray(
-                    np.take_along_axis(win, sel, axis=2)[..., 0, :])
-                self._host_tail = buf[..., -md:] if md else self._host_tail
+            chunk, coarse, frac, phase, dropped = self._feed_chunk(
+                i, drop, source)
             reset = self._acc_spectra == 0
             if reset:
                 self._acc_first_chunk = i
-            if self._frames_io:
-                # (A, P, T) -> (A*P, B, M): a free row-major view; the
-                # device array then has exactly the layout the fused
-                # kernel's chunk ref wants.  Device-resident chunks
-                # (e.g. a multi-ingest gather assembled on device)
-                # reshape in place — never bounce through the host.
-                shp = (cfg.n_ants * cfg.n_pols, b, 2 * cfg.n_chans)
-                chunk = (chunk.reshape(shp) if isinstance(chunk, jax.Array)
-                         else np.asarray(chunk).reshape(shp))
             self.history, self.vis_acc, outputs = self._step(
                 self.history, self.vis_acc, jnp.asarray(chunk),
                 jnp.asarray(coarse), jnp.asarray(frac),
                 jnp.asarray(phase), self.gains, self.weights,
                 jnp.asarray(reset))
-            self.counters.chunks_in += 1
-            self.counters.samples_in += chunk.size
-            self.counters.spectra_out += b
             if on_output is not None and outputs:
                 on_output(i, {k: np.asarray(v) for k, v in outputs.items()})
             if self.mode == "fx":
@@ -217,9 +175,64 @@ class FXRunner:
                         on_dump(d)
                     self._acc_spectra = 0
                     self._acc_integrated = 0
-            self.t0 += c_samp
-            self.chunk_idx += 1
         return dumps, self.counters
+
+    # ------------------------------------------------------------------
+    def _feed_chunk(self, i: int, drop: frozenset, source):
+        """Shared per-chunk host feed for ``run``/``run_batched`` (the
+        paths are documented as semantically identical and must not
+        drift): fault injection, delay-model evaluation, host-side
+        coarse delay, frames-I/O reshape, counter/clock bookkeeping.
+
+        Host-side coarse delay is a read-pointer offset into
+        ``[tail | chunk]``; the tail carries the previous chunk's last
+        ``max_delay`` raw samples (zeros at stream start).  Vectorised:
+        a zero-copy sliding-window view over the concatenated buffer +
+        one take_along_axis gather — no per-stream Python loop in the
+        real-time feed path.  (The truly free home for coarse delay is
+        packet placement in the native ingest: NativeIngest.set_delay;
+        see bench/ingest_bench.py for the at-rate comparison.)
+        """
+        cfg = self.cfg
+        b = cfg.spectra_per_chunk
+        dropped = i in drop
+        if dropped:
+            chunk = np.zeros((cfg.n_ants, cfg.n_pols, cfg.chunk_samples),
+                             np.int8)
+            self.counters.chunks_dropped += 1
+            logger.warning("chunk %d dropped (fault-injected)", i)
+        else:
+            chunk = source(i)
+        coarse, frac, phase = self.delay_model.evaluate_chunk(
+            self.t0, b, cfg.fft_size)
+        if self._host_tail is not None:
+            buf = np.concatenate([self._host_tail, chunk], axis=-1)
+            md = self.max_delay
+            win = np.lib.stride_tricks.sliding_window_view(
+                buf, cfg.chunk_samples, axis=-1)   # (A, P, md+1, c)
+            sel = (md - coarse.astype(np.int64))[..., None, None]
+            chunk = np.ascontiguousarray(
+                np.take_along_axis(win, sel, axis=2)[..., 0, :])
+            if md:
+                # .copy(): the tail is worth ~A*P*md bytes; keeping a
+                # view would pin the whole chunk-sized concat buffer
+                # between steps
+                self._host_tail = buf[..., -md:].copy()
+        if self._frames_io:
+            # (A, P, T) -> (A*P, B, M): a free row-major view; the
+            # device array then has exactly the layout the fused
+            # kernel's chunk ref wants.  Device-resident chunks
+            # (e.g. a multi-ingest gather assembled on device)
+            # reshape in place — never bounce through the host.
+            shp = (cfg.n_ants * cfg.n_pols, b, 2 * cfg.n_chans)
+            chunk = (chunk.reshape(shp) if isinstance(chunk, jax.Array)
+                     else np.asarray(chunk).reshape(shp))
+        self.counters.chunks_in += 1
+        self.counters.samples_in += chunk.size
+        self.counters.spectra_out += b
+        self.t0 += cfg.chunk_samples
+        self.chunk_idx += 1
+        return chunk, coarse, frac, phase, dropped
 
     # ------------------------------------------------------------------
     def run_batched(self, source: Callable[[int], np.ndarray],
@@ -248,7 +261,6 @@ class FXRunner:
             raise ValueError("run_batched is fx-mode only (other modes "
                              "emit per-chunk outputs; use run)")
         b = cfg.spectra_per_chunk
-        c_samp = cfg.chunk_samples
         if cfg.n_spectra_per_acc % b:
             raise ValueError("n_spectra_per_acc must be a multiple of "
                              "spectra_per_chunk for the batched path")
@@ -289,40 +301,14 @@ class FXRunner:
             chunks, coarses, fracs, phases = [], [], [], []
             integrated = 0
             for _k in range(g):
-                i = self.chunk_idx
-                dropped = i in drop
-                if dropped:
-                    chunk = np.zeros((cfg.n_ants, cfg.n_pols, c_samp),
-                                     np.int8)
-                    self.counters.chunks_dropped += 1
-                else:
-                    chunk = np.asarray(source(i))
+                chunk, coarse, frac, phase, dropped = self._feed_chunk(
+                    self.chunk_idx, drop, source)
+                if not dropped:
                     integrated += b
-                coarse, frac, phase = self.delay_model.evaluate_chunk(
-                    self.t0, b, cfg.fft_size)
-                if self._host_tail is not None:
-                    buf = np.concatenate([self._host_tail, chunk],
-                                         axis=-1)
-                    md = self.max_delay
-                    win = np.lib.stride_tricks.sliding_window_view(
-                        buf, c_samp, axis=-1)
-                    sel = (md - coarse.astype(np.int64))[..., None, None]
-                    chunk = np.ascontiguousarray(
-                        np.take_along_axis(win, sel, axis=2)[..., 0, :])
-                    self._host_tail = buf[..., -md:] if md \
-                        else self._host_tail
-                if self._frames_io:
-                    chunk = chunk.reshape(cfg.n_ants * cfg.n_pols, b,
-                                          2 * cfg.n_chans)
-                chunks.append(chunk)
+                chunks.append(np.asarray(chunk))
                 coarses.append(coarse)
                 fracs.append(frac)
                 phases.append(phase)
-                self.counters.chunks_in += 1
-                self.counters.samples_in += chunk.size
-                self.counters.spectra_out += b
-                self.t0 += c_samp
-                self.chunk_idx += 1
             self.history, self.vis_acc = self._scan_window(
                 self.history, self.vis_acc,
                 jnp.asarray(np.stack(chunks)),

