@@ -6,9 +6,15 @@ CMAC, beamformer — BASELINE.json:5 "all as JAX/XLA/Pallas kernels"), a
 Pallas-TPU kernel.  ``impl="auto"`` picks Pallas on TPU, jnp elsewhere.
 
 Numerics policy (the >50 dB bound, BASELINE.json:5, drives everything):
-int8 input -> float32 FIR accumulation -> float32 (complex64) FFT and phase
-rotation -> int8 requantised output -> int32 MXU CMAC.  No bfloat16 anywhere
-on the verification path.
+int8 input -> float32 FIR accumulation -> float32 FFT and phase rotation ->
+int8 requantised output -> int32-exact MXU CMAC.  bfloat16 appears ONLY
+where it is exact or error-bounded by construction: hi/lo-split matmuls
+accumulating in fp32 (the fused F-engine's stage-2 ``bf16x3``, the
+beamformer's weight split — ~108 dB bare, verified >50 dB end-to-end) and
+identity-dot relayouts / CMACs of int8-range integers (exact in bf16 for
+|v| <= 256; the native X/B-engine kernels gate on the fp32-accumulation
+exactness bound b <= 1024).  Plain bf16 arithmetic on the signal path is
+not allowed.
 """
 
 from .pfb import pfb_fir  # noqa: F401

@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dc_sand_tpu.ops._dispatch import resolve_impl
 
-__all__ = ["beamform", "incoherent_sum"]
+__all__ = ["beamform", "beamform_native", "incoherent_sum",
+           "incoherent_sum_native"]
 
 _P = jax.lax.Precision.HIGHEST
 
@@ -155,8 +156,13 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
     a, p, m2, _, b, k1n = qn.shape
     nb = weights.shape[0]
     k = m2 * k1n
+    # footprint gate (as ops/xcorr.py xcorr_accumulate_native): the
+    # b-linear VMEM residents — double-buffered qn block + x2 relayout
+    # scratch — total 8*a*p*b*k1n bytes and don't shrink with the kg
+    # group scaling; bound them so gate-admitted shapes compile
     ok = (rimpl.startswith("pallas") and qn.dtype == jnp.int8
           and k1n % 128 == 0 and b % 128 == 0 and (2 * a) % 8 == 0
+          and 8 * a * p * b * k1n <= 96 * 1024 * 1024
           and (2 * nb) % 8 == 0 and weights.shape[2] == k)
     if not ok:
         # decode native -> wire at XLA level, then the normal path:
@@ -174,7 +180,11 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
     wh = w2.astype(jnp.bfloat16)
     wl = (w2 - wh.astype(jnp.float32)).astype(jnp.bfloat16)
     eye = jnp.asarray(np.eye(k1n, dtype=np.float32), jnp.bfloat16)
-    kg = k1n // 4
+    # scale the k1 group down for long integration tiles: the per-group
+    # z temp (kg, 2, a, b) fp32 and output block are kg*b-linear
+    kg = max(1, min(k1n // 4, (k1n // 4) * 256 // b))
+    while k1n % kg:
+        kg -= 1
     qn2 = qn.reshape(a * p, m2, 2, b, k1n)
     out = pl.pallas_call(
         functools.partial(_beam_native_kernel, a=a, p=p, b=b, k1n=k1n,

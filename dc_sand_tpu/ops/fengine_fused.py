@@ -29,11 +29,13 @@ slices only):
    both ruled out (perf-neutral / Mosaic compiler crash).
 2. **FFT** — Cooley-Tukey ``M = m1*m2`` with ``m1`` lane-aligned:
    stage 1 is a statically-unrolled radix-2 FFT over the ``m2``
-   lane-aligned slices (generated at trace time by ``_dft_tiles`` with
-   trivial-twiddle and real-input elision — ~m2*log2(m2) tile ops on the
-   VPU, replacing round-1's m2^2 weighted-sum loop, the measured VPU
-   bottleneck at 4k channels); the k2 twiddle rows then multiply each
-   stage-1 output; stage 2 is one full-width MXU matmul per k2-group —
+   lane-aligned slices (generated at trace time by ``_dif_fft_blocks``,
+   the iterative decimation-in-frequency form — ~m2*log2(m2) tile ops
+   on the VPU, replacing round-1's m2^2 weighted-sum loop, the measured
+   VPU bottleneck at 4k channels; the recursive ``_dft_tiles`` codegen
+   is retained as the test oracle for the butterfly math); the k2
+   twiddle rows then multiply each stage-1 output; stage 2 is one
+   full-width MXU matmul per k2-group —
    sublane-stacked ``[Zr | Zi]`` ``(mg*TB, 2*m1)`` against prebuilt
    ``[w1r^T; -w1i^T]`` / ``[w1i^T; w1r^T]`` matrices.  ``m1`` prefers
    256 so the stage-2 output width k1=m1/2 is exactly one 128-lane tile
@@ -723,7 +725,6 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
             tb = tb_auto
         if groups is None:
             groups = g_auto
-    quantized = gains is not None
     if (tb == 0 or m % 128 or taps < 2 or m2 == 0 or m2 % groups
             or b_out % tb or tb < taps_pad):
         if strict:
@@ -795,6 +796,7 @@ def _fused_split(x, history, window, taps: int, n_chans: int, *,
     lead = x.shape[:-2]
     b_out = x.shape[-2]
     s = int(np.prod(lead)) if lead else 1
+    _explicit_tiling = tb is not None or groups is not None
     try:
         m1v, m2, tw, wm = _fft_tables(m, m1)
     except ValueError:
@@ -807,6 +809,13 @@ def _fused_split(x, history, window, taps: int, n_chans: int, *,
             groups = g_auto
     if (tb == 0 or m % 128 or taps < 2 or m2 == 0 or m2 % groups
             or b_out % tb or tb < taps_pad):
+        if _explicit_tiling:
+            # an EXPLICIT tb/groups request must not be silently
+            # re-chosen by the rebuild path — a bench sweep's "tb=128"
+            # datapoint would actually measure the auto tiling
+            raise ValueError(
+                f"explicit tiling tb={tb}, groups={groups} does not "
+                f"tile m={m}, b_out={b_out}, taps={taps}")
         # rebuild the concatenated stream and take the normal path
         # (which itself falls back for untileable shapes) — split I/O
         # is a fast-path-only calling convention

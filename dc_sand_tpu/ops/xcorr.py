@@ -108,12 +108,17 @@ def _xcorr_accumulate_pallas(acc: jax.Array, a2: jax.Array,
     (donated via ``input_output_aliases``).
     """
     k, tap, b = a2.shape
-    kt = 1
+    kt = None
     for cand in (8, 4, 2, 1):
         # VMEM per step: q tile + 2x acc tile (+ dot temp) — keep << 16M
         if k % cand == 0 and cand * tap * (b + 12 * tap) <= 8 * 1024 * 1024:
             kt = cand
             break
+    if kt is None:
+        # even a single-channel tile exceeds the VMEM budget (huge
+        # tap*b): signal the caller to take the jnp path rather than
+        # launching a kernel that fails at compile
+        return None
     return pl.pallas_call(
         functools.partial(_cmac_kernel, kt=kt),
         grid=(k // kt,),
@@ -159,8 +164,10 @@ def xcorr_accumulate_a2(acc: jax.Array, a2: jax.Array,
     # Pallas wants lane/sublane-tileable operands; small test shapes ride
     # the jnp path (same math, XLA batched matmul)
     if impl.startswith("pallas") and tap % 8 == 0 and b % 128 == 0:
-        return _xcorr_accumulate_pallas(
+        out = _xcorr_accumulate_pallas(
             acc, a2, interpret=(impl == "pallas_interpret"))
+        if out is not None:
+            return out
     full2 = jax.lax.dot_general(
         a2, a2, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.int32)
@@ -231,8 +238,16 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
     impl = resolve_impl(impl)
     a, p, m2, _, b, k1n = qn.shape
     ap = a * p
+    # footprint gate: the b-linear VMEM residents — the double-buffered
+    # qn block (ap*2*b*k1n int8 x2) and the x2 relayout scratch
+    # (2*ap*b*k1n bf16) — total 8*ap*b*k1n bytes and do NOT shrink with
+    # the kg group scaling below; bound them so gate-admitted shapes
+    # actually compile (flagship ap=128, b=512, k1n=128 = 67 MB,
+    # measured good; b=1024 would be 134 MB > the 100 MB kernel limit)
     ok = (impl.startswith("pallas") and k1n % 128 == 0 and b % 128 == 0
-          and b <= 1024 and (2 * ap) % 8 == 0 and acc.shape[0] == m2 * k1n)
+          and b <= 1024                      # fp32-CMAC exactness bound
+          and 8 * ap * b * k1n <= 96 * 1024 * 1024
+          and (2 * ap) % 8 == 0 and acc.shape[0] == m2 * k1n)
     keep = (jnp.int32(1) if reset is None
             else 1 - jnp.asarray(reset).astype(jnp.int32))
     if not ok:

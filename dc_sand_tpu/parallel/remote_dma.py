@@ -29,18 +29,17 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["ring_permute_right", "all_to_all_pallas"]
 
 
-def _device_coords(axis_name: str, axis_names, target):
-    """MESH device id: my own coordinate on every axis except
-    ``axis_name``, where it is ``target``."""
-    return tuple(target if a == axis_name else jax.lax.axis_index(a)
-                 for a in axis_names)
-
-
 def _logical_id(axis_name: str, axis_names, target):
     """Flattened (row-major over ``axis_names``) device id of the shard
     whose ``axis_name`` coordinate is ``target`` and whose other
     coordinates match mine — the LOGICAL addressing mode, which the
     interpreter supports on multi-axis meshes (MESH ids do not)."""
+    if axis_name not in axis_names:
+        # fail loudly: the loop below would otherwise never substitute
+        # ``target`` and every remote copy becomes a silent SELF-send
+        # (each shard reads its own tail as the neighbour's halo)
+        raise ValueError(f"axis_name {axis_name!r} missing from "
+                         f"axis_names {tuple(axis_names)!r}")
     flat = None
     for a in axis_names:
         coord = target if a == axis_name else jax.lax.axis_index(a)
