@@ -40,8 +40,12 @@ def bench_membench(pattern: str, *, mb: float = 256.0,
         bytes_moved = 4 * n * 1 + 4 * n * 4
     elif pattern == "transpose":
         # v.T alone is a layout annotation (no data moves); summing the
-        # two orientations forces a real relayout read
-        side = 8192
+        # two orientations forces a real relayout read.  Honour the mb
+        # working-set knob like the 1-D patterns (largest tile-aligned
+        # square side with side^2 fp32 <= mb)
+        side = int((mb * 1e6 / 4) ** 0.5)
+        side -= side % 1024
+        side = max(side, 1024)
         x = jax.jit(lambda: jnp.ones((side, side), jnp.float32))()
         fn = lambda v: v.T + v  # noqa: E731
         bytes_moved = 3 * side * side * 4

@@ -130,7 +130,7 @@ def bench_fengine(n_streams: int = 16, n_spectra: int = 512,
              "vs_realtime_floor": rate / REALTIME_FLOOR_PER_CHIP}
     try:
         extra["cost_model"] = fengine_cost_model(
-            n_chans, taps, stage2 or "fp32")
+            n_chans, taps, stage2 or "bf16x3")
         extra["bottleneck"] = extra["cost_model"]["bottleneck"]
     except ValueError:
         pass  # shape the fused kernel does not tile

@@ -70,7 +70,13 @@ def main(results_dir: str = "bench/results") -> int:
                   "(first recording)")
             continue
         _, prev, _ = runs[-2]
-        ratio = latest["value"] / prev["value"] if prev["value"] else 0
+        if prev["value"]:
+            ratio = latest["value"] / prev["value"]
+        else:
+            # a zero previous value has no meaningful ratio: 0 -> 0 is
+            # unchanged, 0 -> nonzero is an improvement, never a
+            # regression (e.g. collective wire bytes on a 1-device mesh)
+            ratio = 1.0 if not latest["value"] else float("inf")
         mark = "OK"
         if ratio < 1 - TOLERANCE:
             mark = "REGRESSION"

@@ -83,7 +83,11 @@ def bench_scaling(max_devices: int = 8, n_ants: int = 16,
     # meaningful against a T(1) measured on the SAME platform (the dev
     # box would otherwise mix the one real TPU chip with CPU devices)
     pool = jax.devices()
-    if len(pool) < max_devices:
+    if len(pool) < 2:
+        # a 1-accelerator box cannot measure scaling at all — only then
+        # fall back to the virtual CPU pool.  A real multi-chip slice
+        # always wins, even when it is SMALLER than max_devices: a
+        # truncated sweep on real ICI beats a full sweep on CPU.
         try:
             cpu = jax.devices("cpu")
         except RuntimeError:

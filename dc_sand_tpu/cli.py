@@ -35,11 +35,6 @@ def _add_common(p):
 
 
 def cmd_verify(args) -> int:
-    import json as _json
-    import os
-    import subprocess
-    import time
-
     from dc_sand_tpu.verify import verify_config, SNR_BOUND
     mesh = None
     if args.mesh or args.time_shards > 1:
@@ -64,25 +59,22 @@ def cmd_verify(args) -> int:
     print(f"{args.config}: {'PASS' if ok else 'FAIL'} "
           f"(bound {SNR_BOUND} dB)")
     if args.record:
-        # SNR regression record (SURVEY.md §4.2 regression row)
-        os.makedirs("bench/results", exist_ok=True)
-        try:
-            commit = subprocess.run(
-                ["git", "rev-parse", "--short", "HEAD"],
-                capture_output=True, text=True).stdout.strip() or "nogit"
-        except Exception:
-            commit = "nogit"
+        # SNR regression record (SURVEY.md §4.2 regression row) through
+        # the shared BenchResult writer: finish() stamps the chip so
+        # regress.py keys the series per platform, and the impl/stage2/
+        # scale shape keys keep e.g. int16 runs out of the bf16x3 series
+        from dc_sand_tpu.bench.harness import BenchResult
         vname = args.config + ("_production" if args.production_cadence
                                else "")
-        path = (f"bench/results/verify_{vname}_{commit}_"
-                f"{int(time.time())}.json")
-        with open(path, "w") as f:
-            f.write(_json.dumps({
-                "name": f"verify_{vname}",
-                "metric": "min stage SNR", "unit": "dB",
-                "value": min(snrs.values()), "wall_s": 0.0,
-                "extra": {k: v for k, v in snrs.items()},
-            }) + "\n")
+        extra = dict(snrs)
+        extra.update(impl=args.impl, stage2=args.stage2,
+                     time_shards=args.time_shards)
+        if args.scale:
+            extra["n_chans"] = args.scale
+        path = BenchResult(
+            name=f"verify_{vname}", metric="min stage SNR", unit="dB",
+            value=min(snrs.values()), wall_s=0.0,
+            extra=extra).finish().save()
         print(f"recorded {path}")
     return 0 if ok else 1
 
@@ -135,8 +127,8 @@ def cmd_run(args) -> int:
               f"|V| mean {abs(d.vis.astype(float)).mean():.1f}")
     if args.checkpoint:
         from dc_sand_tpu.runtime import save_state
-        save_state(runner, args.checkpoint)
-        print(f"state saved to {args.checkpoint}")
+        saved = save_state(runner, args.checkpoint)
+        print(f"state saved to {saved}")
     return 0
 
 
@@ -156,7 +148,8 @@ def _run_bench(args) -> int:
         from dc_sand_tpu.bench.pipelines import bench_fengine
         results.append(bench_fengine(impl=args.impl,
                                      full_chain=(args.target != "pfb"),
-                                     n_chans=args.scale or 1024))
+                                     n_chans=args.scale or 1024,
+                                     stage2=args.stage2))
     elif args.target == "fx":
         from dc_sand_tpu.bench.pipelines import bench_fx_step
         results.append(bench_fx_step(n_chans=args.scale or 1024))

@@ -18,7 +18,12 @@ import numpy as np
 __all__ = ["save_state", "load_state"]
 
 
-def save_state(runner, path: str) -> None:
+def save_state(runner, path: str) -> str:
+    """Save the runner's carry; returns the ACTUAL file path written
+    (np.savez appends '.npz' to an extensionless path — callers must
+    report/reload the returned name, not the argument)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     dm = runner.delay_model
     c = runner.counters
     np.savez(
@@ -41,11 +46,15 @@ def save_state(runner, path: str) -> None:
         counters=np.array([c.chunks_in, c.chunks_dropped, c.samples_in,
                            c.spectra_out, c.dumps], np.int64),
     )
+    return path
 
 
 def load_state(runner, path: str) -> None:
     """Restore a runner's carry in place; config hash must match."""
     import jax.numpy as jnp
+    import os
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"      # accept the pre-normalisation name
     z = np.load(path, allow_pickle=False)
     saved_hash = str(z["config_hash"])
     if saved_hash != runner.cfg.config_hash():
@@ -68,6 +77,16 @@ def load_state(runner, path: str) -> None:
     if "host_tail" in z.files and z["host_tail"].size:
         runner._host_tail = z["host_tail"].copy()
     if "delay_d0" in z.files:
+        if int(z["delay_max"]) != runner.max_delay:
+            # the runner's host-tail buffer / step program were built
+            # for ITS delay model's max_delay: restoring a different
+            # one would either silently skip the coarse gather (runner
+            # md=0) or feed a wrong-shaped tail — resume with a runner
+            # constructed over an equivalent DelayModel instead
+            raise ValueError(
+                f"checkpoint delay max_delay {int(z['delay_max'])} != "
+                f"runner's {runner.max_delay}; build the resuming "
+                "runner with a DelayModel of the same max_delay")
         dm = runner.delay_model
         dm.d0 = z["delay_d0"].copy()
         dm.d1 = z["delay_d1"].copy()
