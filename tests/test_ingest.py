@@ -314,6 +314,58 @@ class TestAssembler:
         np.testing.assert_array_equal(chunk[0, 0],
                                       (s10 >> 2).astype(np.int8))
 
+    def test_spead_roundtrip_fuzz(self):
+        """Property fuzz over the full tx->rx wire path: any payload
+        size, split size, arrival order, duplicate datagrams, and
+        format must reassemble bit-exact with fill == 1.0."""
+        from hypothesis import given, settings, strategies as st
+        from dc_sand_tpu.runtime.ingest import spead_packetize
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.data())
+        def check(data):
+            fmt = data.draw(st.sampled_from([NativeIngest.FORMAT_INT8,
+                                             NativeIngest.FORMAT_10BIT]))
+            # chunk sizes in 4-sample groups so 10-bit packing is legal
+            c = 4 * data.draw(st.integers(2, 64))
+            a = data.draw(st.integers(1, 3))
+            p = data.draw(st.integers(1, 2))
+            seed = data.draw(st.integers(0, 2**16))
+            rng = np.random.default_rng(seed)
+            ing = NativeIngest(a, p, c)
+            if fmt == NativeIngest.FORMAT_10BIT:
+                s10 = rng.integers(-512, 512, (a, p, c))
+                ref = (s10 >> 2).astype(np.int8)
+                payloads = [[_pack_10bit(s10[ai, pi])
+                             for pi in range(p)] for ai in range(a)]
+                align = 5
+            else:
+                ref = rng.integers(-100, 100, (a, p, c), dtype=np.int8)
+                payloads = [[ref[ai, pi].tobytes()
+                             for pi in range(p)] for ai in range(a)]
+                align = 1
+            mp = align * data.draw(st.integers(1, 8))
+            grams = []
+            for ai in range(a):
+                for pi in range(p):
+                    buf, lens = spead_packetize(
+                        payloads[ai][pi], 0, ai * p + pi,
+                        max_payload=mp, align=align)
+                    off = 0
+                    for ln in lens:
+                        grams.append(bytes(buf[off:off + int(ln)]))
+                        off += int(ln)
+            # UDP semantics: shuffled order + some duplicates
+            rng.shuffle(grams)
+            grams += grams[: len(grams) // 3]
+            for g in grams:
+                assert ing.submit_spead(g, fmt=fmt) == 0
+            chunk, fill = ing.retire()
+            assert fill == 1.0
+            np.testing.assert_array_equal(chunk, ref)
+
+        check()
+
     def test_feeds_runner_source(self):
         """End-to-end: native chunks drive the FXRunner."""
         from dc_sand_tpu.config import ChainConfig
