@@ -79,26 +79,34 @@ def main() -> None:
                             "bench", "results")
         # order by the RECORDED timestamp in the filename (as
         # bench/regress.py does) — file mtimes are checkout times on a
-        # fresh clone, which would make "newest" arbitrary
+        # fresh clone, which would make "newest" arbitrary; skip any
+        # foreign file whose name doesn't parse rather than aborting
+        def _ts(name):
+            try:
+                return int(name.rsplit("_", 1)[1].split(".")[0])
+            except ValueError:
+                return None
+
         recs = sorted((f for f in os.listdir(rdir)
-                       if f.startswith("fx_step_64ant_")),
-                      key=lambda f: int(f.rsplit("_", 1)[1]
-                                        .split(".")[0]))
-        # the newest record's commit identifies the current kernel; the
-        # best chunk-size variant within that batch is the headline
+                       if f.startswith("fx_step_64ant_")
+                       and _ts(f) is not None), key=_ts)
+        # the newest record (at ANY shape) identifies the current
+        # kernel; only 4k records from that same batch may ride along —
+        # an older commit's 4k number must never masquerade as current.
+        # The best chunk-size variant within the batch is the headline
         # (512-spectra chunks amortise accumulator traffic better than
-        # 256 — both are recorded)
+        # 256 — both are recorded).
         batch = None
         for name in reversed(recs):
-            with open(os.path.join(rdir, name)) as fh:
-                r = json.load(fh)
-            if r["extra"].get("n_chans") != 4096:
-                continue
             commit = name.split("_")[3]
             if batch is None:
                 batch = commit
             elif commit != batch:
                 break
+            with open(os.path.join(rdir, name)) as fh:
+                r = json.load(fh)
+            if r["extra"].get("n_chans") != 4096:
+                continue
             cand = {"gsamp_s": r["value"] / 1e9,
                     "vs_realtime_floor":
                         r["extra"]["vs_realtime_floor"],

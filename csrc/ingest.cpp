@@ -102,6 +102,7 @@ struct Ingest {
   // (identical to the runner's host-side [zeros | chunk] lead-in).
   std::vector<int64_t> delays;
   int64_t max_delay = 0;  // retained for validation only
+  std::vector<int8_t> scratch10;  // 10-bit unpack scratch (under mu)
   std::atomic<uint64_t> packets_ok{0}, packets_late{0}, packets_bad{0};
   // placed only PARTIALLY: some chunk segment was dropped (borrowed-slot
   // wrap) while another landed — consumer-too-slow data loss that
@@ -149,6 +150,11 @@ void unpack_10bit(const uint8_t* src, int8_t* dst, uint64_t n) {
 
 void* ingest_create(int n_ants, int n_pols, uint64_t chunk_samples,
                     int n_slots) {
+  if (n_ants <= 0 || n_pols <= 0 || chunk_samples == 0 || n_slots <= 0) {
+    // a zero chunk_samples/n_slots would SIGFPE on the first divide;
+    // fail construction instead (the Python wrapper raises on nullptr)
+    return nullptr;
+  }
   auto* ig = new Ingest;
   ig->n_ants = n_ants;
   ig->n_pols = n_pols;
@@ -248,16 +254,31 @@ int submit_locked(Ingest* ig, int ant, int pol, uint64_t timestamp,
     ig->packets_bad++;
     return -3;  // caller must retire chunks first
   }
-  std::vector<int8_t> unpacked;
   const int8_t* samples;
   if (format == 1) {
-    unpacked.resize(n_samples);
-    unpack_10bit(payload, unpacked.data(), n_samples);
-    samples = unpacked.data();
+    if (n_samples % 4) {
+      // unpack_10bit's contract: whole 4-sample/5-byte groups only — a
+      // ragged tail would be silently written as zeros yet counted as
+      // covered bytes (fill 1.0 with corrupt data)
+      ig->packets_bad++;
+      return -2;
+    }
+    // reusable scratch (mu held): per-packet heap churn would tax the
+    // at-rate burst path the burst API exists to keep cheap
+    if (ig->scratch10.size() < n_samples) ig->scratch10.resize(n_samples);
+    unpack_10bit(payload, ig->scratch10.data(), n_samples);
+    samples = ig->scratch10.data();
   } else {
     samples = reinterpret_cast<const int8_t*>(payload);
   }
   bool any_placed = false, any_dropped = false;
+  // segments falling off either window edge are real data loss too —
+  // a packet straddling the tail (late leading samples) or the window
+  // head (caller hasn't retired yet) must not hide behind packets_ok
+  if (first_chunk < ig->window_tail_chunk ||
+      last_chunk >= ig->window_tail_chunk + ig->n_slots) {
+    any_dropped = true;
+  }
   for (uint64_t c = std::max(first_chunk, ig->window_tail_chunk);
        c <= last_chunk && c < ig->window_tail_chunk + ig->n_slots; ++c) {
     if (ig->borrowed_chunk >= 0 &&
@@ -547,7 +568,14 @@ long long ingest_retire_view(void* h, int8_t** out, int force) {
 int ingest_tail_complete(void* h) {
   auto* ig = static_cast<Ingest*>(h);
   std::lock_guard<std::mutex> lock(ig->mu);
-  if (ig->borrowed_chunk >= 0) return 0;
+  if (ig->borrowed_chunk >= 0 &&
+      ig->window_tail_chunk % ig->n_slots ==
+          uint64_t(ig->borrowed_chunk) % ig->n_slots) {
+    // mirror ingest_retire's -5 condition exactly: only a borrow of
+    // the TAIL's slot blocks retirement — a view still held on the
+    // previous chunk must not make a genuinely complete tail read 0
+    return 0;
+  }
   ChunkSlot& slot = ig->slot_for(ig->window_tail_chunk);
   return (slot.in_window && slot.filled_bytes == ig->chunk_bytes())
              ? 1 : 0;

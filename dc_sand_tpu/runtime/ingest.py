@@ -285,6 +285,11 @@ class NativeIngest:
         self._shape = (n_ants, n_pols, chunk_samples)
         self._h = ctypes.c_void_p(self._lib.ingest_create(
             n_ants, n_pols, chunk_samples, n_slots))
+        if not self._h:
+            raise ValueError(
+                f"bad ingest geometry: n_ants={n_ants}, n_pols={n_pols},"
+                f" chunk_samples={chunk_samples}, n_slots={n_slots} "
+                "(all must be positive)")
 
     def set_delay(self, ant: int, pol: int, delay: int,
                   max_delay: int) -> None:

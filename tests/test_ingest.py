@@ -205,6 +205,52 @@ class TestAssembler:
         ref[8:] = 5
         np.testing.assert_array_equal(chunk[0, 0], ref)
 
+    def test_window_edge_straddle_counts_clipped(self):
+        """Segments clipped at either ring-window edge are real data
+        loss and must count packets_clipped, not hide in packets_ok."""
+        a, p, c = 1, 1, 100
+        ing = NativeIngest(a, p, c, n_slots=4)
+        # straddles the window head: chunks [3, 4], window holds [0, 3]
+        ing.submit(0, 0, 350, np.full((100,), 1, np.int8).tobytes())
+        assert ing.stats()["packets_clipped"] == 1
+        # advance the tail by one, then straddle it: chunks [0, 1]
+        ing.retire(force=True)
+        ing.submit(0, 0, 50, np.full((100,), 2, np.int8).tobytes())
+        st = ing.stats()
+        assert st["packets_clipped"] == 2
+        assert st["packets_ok"] == 2           # both partially placed
+        chunk, _ = ing.retire(force=True)      # chunk 1: got its half
+        ref = np.zeros((c,), np.int8)
+        ref[:50] = 2
+        np.testing.assert_array_equal(chunk[0, 0], ref)
+
+    def test_tail_complete_ignores_non_tail_borrow(self):
+        """A retire_view still held on the PREVIOUS chunk must not make
+        a genuinely complete tail read incomplete (mirror of
+        ingest_retire's borrowed-slot condition)."""
+        a, p, c = 1, 1, 16
+        ing = NativeIngest(a, p, c, n_slots=4)
+        ing.submit(0, 0, 0, np.full((c,), 1, np.int8).tobytes())
+        view, _ = ing.retire_view()            # borrow chunk 0's slot
+        assert not ing.tail_complete()         # chunk 1 empty
+        ing.submit(0, 0, c, np.full((c,), 2, np.int8).tobytes())
+        assert ing.tail_complete()             # complete despite borrow
+        ing.release()
+
+    def test_bad_geometry_raises(self):
+        for bad in ((4, 2, 0), (0, 2, 64), (4, 0, 64)):
+            with pytest.raises(ValueError, match="geometry"):
+                NativeIngest(*bad)
+        with pytest.raises(ValueError, match="geometry"):
+            NativeIngest(4, 2, 64, n_slots=0)
+
+    def test_10bit_ragged_tail_rejected(self):
+        ing = NativeIngest(1, 1, 64)
+        # 7 bytes -> 5 samples: not a whole 4-sample group
+        assert ing.submit(0, 0, 0, b"\x01" * 7,
+                          fmt=NativeIngest.FORMAT_10BIT) == -2
+        assert ing.stats()["packets_bad"] == 1
+
     def test_spead_stream_id_out_of_range(self):
         """Out-of-range (incl. 2^32-wrapping) stream ids are rejected
         before the int cast can alias them onto a valid antenna."""
