@@ -76,6 +76,12 @@ class ChainConfig:
     run_xengine: bool = False
     n_beams: int = 0
     incoherent_beam: bool = False
+    # Stokes I/Q/U/V detection on the (float) beam voltages before any
+    # int8 beam quantisation — the B-engine's standard downstream
+    # product (ops/stokes.py).  Needs dual-pol beams.  ``None`` (= off)
+    # rather than False so enabling the knob later never invalidates
+    # existing config hashes (config_hash drops None fields).
+    beam_stokes: bool = None
     # 8-bit beam output (C10's "int8 output"): scale applied before
     # round/saturate; 0.0 keeps float32 beams
     beam_quant_scale: float = 0.0

@@ -181,6 +181,9 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
     taps, n_chans = cfg.n_taps, cfg.n_chans
     quantized = cfg.apply_requant
     device_coarse = cfg.apply_delay and not coarse_on_host
+    if cfg.beam_stokes and (mode != "beam" or cfg.n_pols != 2):
+        raise ValueError("beam_stokes needs dual-pol beams "
+                         f"(mode={mode}, n_pols={cfg.n_pols})")
 
     if cfg.time_shards > 1:
         if max_delay:
@@ -281,6 +284,11 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
                 coh = ops.beamform(q, weights)
             if mesh is not None:
                 coh = jax.lax.psum(coh, FX_AXIS)
+            if cfg.beam_stokes:
+                # detection runs on the FLOAT beam voltages (before any
+                # int8 beam quantisation); XLA fuses the elementwise
+                # products into the beamformer output
+                outputs["stokes"] = ops.stokes(coh)
             if cfg.beam_quant_scale:
                 # int8 beam output (BASELINE.json:11 / SURVEY C10)
                 coh = jnp.clip(
@@ -303,6 +311,8 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
         # channels (axis 0); other modes carry a rank-1 dummy
         vis_spec = P(FX_AXIS) if mode == "fx" else P(None)
         beam_out = {"beams": P()}
+        if cfg.beam_stokes:
+            beam_out["stokes"] = P()   # computed post-psum: replicated
         if cfg.incoherent_beam:
             beam_out["incoherent"] = P()
         out_specs = {"fengine": (a, vis_spec, {"spectra": a}),

@@ -406,7 +406,7 @@ class TestShardedBeamStep:
         cfg = ChainConfig(name="t", n_ants=8, n_pols=2, n_chans=N_CHANS,
                           n_taps=TAPS, spectra_per_chunk=8, n_beams=3,
                           apply_delay=True, apply_requant=True,
-                          incoherent_beam=True)
+                          incoherent_beam=True, beam_stokes=True)
         rng = np.random.default_rng(50)
         wts = rng.normal(size=(3, 8, N_CHANS, 2)).astype(np.float32)
         stream = _noise_int8((8, 2, cfg.chunk_samples), seed=51)
@@ -432,3 +432,5 @@ class TestShardedBeamStep:
         assert snr_db(beams_g, np_ri2c(np.asarray(outputs["beams"]))) > 50
         inc_g = golden.incoherent_sum(spec_g)
         assert snr_db(inc_g, np.asarray(outputs["incoherent"])) > 50
+        stokes_g = golden.stokes(beams_g)
+        assert snr_db(stokes_g, np.asarray(outputs["stokes"])) > 50

@@ -352,6 +352,37 @@ class TestRunnerFEngine:
         inc_g = golden.incoherent_sum(spec_g[:, :, B_CHUNK:])
         assert snr_db(inc_g, outs[1]["incoherent"]) > 50
 
+    def test_beam_stokes_matches_golden(self):
+        """cfg.beam_stokes emits I/Q/U/V detection on the float beam
+        voltages (C10 downstream product), vs golden.stokes."""
+        cfg = ChainConfig(name="t", n_ants=4, n_pols=2, n_chans=N_CHANS,
+                          n_taps=TAPS, spectra_per_chunk=B_CHUNK,
+                          apply_delay=False, apply_requant=True,
+                          n_beams=2, beam_stokes=True)
+        rng = np.random.default_rng(12)
+        wts = rng.normal(size=(2, 4, N_CHANS, 2)).astype(np.float32)
+        stream = _make_stream(cfg, 2, seed=13)
+        outs = []
+        r = FXRunner(cfg, pfb_window(TAPS, M), weights=wts, impl="jnp")
+        r.run(_source(stream, cfg), 2,
+              on_output=lambda i, o: outs.append(o))
+        assert outs[0]["stokes"].shape == (2, 4, B_CHUNK, N_CHANS)
+        spec_g = _golden_chain(
+            cfg, stream, DelayModel.zeros(cfg.n_ants, cfg.n_pols),
+            np.full(cfg.n_chans, cfg.quant_scale) + 0j, 2)
+        wg = wts[..., 0] + 1j * wts[..., 1]
+        stokes_g = golden.stokes(golden.beamform(spec_g[:, :, B_CHUNK:],
+                                                 wg))
+        assert snr_db(stokes_g, outs[1]["stokes"]) > 50
+
+    def test_beam_stokes_needs_dual_pol(self):
+        from dc_sand_tpu.models.pipeline import make_step
+        cfg = ChainConfig(name="t", n_ants=4, n_pols=1, n_chans=N_CHANS,
+                          n_taps=TAPS, spectra_per_chunk=B_CHUNK,
+                          n_beams=2, beam_stokes=True)
+        with pytest.raises(ValueError, match="dual-pol"):
+            make_step(cfg, pfb_window(TAPS, M))
+
     def test_beam_mode_fused_native_path_matches_golden(self):
         """The PRODUCTION beam path end-to-end through the runner:
         frames I/O + fused F-engine + beamform_native (MXU identity-dot
