@@ -1,0 +1,44 @@
+#!/bin/bash
+# Refresh the judged on-chip records at the current HEAD on a live TPU.
+#
+# Run after kernel-affecting changes (or to re-stamp records at a new
+# commit).  Each step is individually time-bounded because first
+# executions of new programs compile server-side (minutes) and the
+# remote compile helper sometimes 500s — a wedged step must not wedge
+# the sweep.  Verify steps use --production-cadence only for fx64
+# (the contract cadence); the rest run the fast clamped cadence.
+#
+# Usage: scripts/refresh_tpu_records.sh [quick]
+#   quick = headline bench + fx64 verify only (~15 min warm cache)
+set -u
+cd "$(dirname "$0")/.."
+PY=/opt/venv/bin/python
+
+run() {  # run <timeout_s> <desc> <cmd...>
+  local t=$1 d=$2; shift 2
+  echo "=== $d"
+  timeout "$t" "$@" || echo "!!! $d failed/timed out (exit $?)"
+}
+
+# tunnel health first: bench.py exits 2 fast-ish if the relay is dead
+run 400 "headline bench (F-engine 4k + 1k, writes records)" $PY bench.py
+
+run 1200 "verify fx64 (production cadence, record)" \
+    $PY -m dc_sand_tpu.cli verify fx64 --production-cadence --record
+
+if [ "${1:-}" = "quick" ]; then exit 0; fi
+
+for cfg in pfb1k pfb4k fx4 beam64; do
+  run 900 "verify $cfg (record)" $PY -m dc_sand_tpu.cli verify $cfg --record
+done
+
+# step benches at the contract shapes (scan programs: long compiles on
+# a cold cache — these are the 10-25 min compile-roulette programs, so
+# they get the biggest budgets and run LAST)
+run 2400 "fx step 64-ant 4k" $PY -m dc_sand_tpu.cli bench fx --scale 4096
+run 2400 "beam step config-5" $PY -m dc_sand_tpu.cli bench beam-step
+run 1200 "xcorr native CMAC" $PY -m dc_sand_tpu.cli bench xcorr
+run 1200 "beamform kernels" $PY -m dc_sand_tpu.cli bench beamform
+
+echo "=== regress check"
+timeout 120 $PY -m dc_sand_tpu.cli regress || true
