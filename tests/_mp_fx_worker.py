@@ -1,0 +1,96 @@
+"""Worker for the multi-PROCESS SPMD test (tests/test_distributed.py).
+
+Each of N processes owns a disjoint set of devices (2 virtual CPU
+devices here; chips on a real pod host); together they run ONE sharded
+FX-correlator step over the global (2N)-device mesh through the exact
+production entry points (`init_distributed` -> `make_sharded_fx_step`),
+with cross-process collectives on the wire (gloo on CPU; DCN on a pod).
+Each process verifies ITS OWN addressable output shards against the
+float64 golden chain and prints PASS.
+
+Usage: _mp_fx_worker.py <process_id> <num_processes> <coordinator_port>
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # never dial a TPU tunnel
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+
+def main() -> int:
+    pid, n_proc, port = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])
+    from dc_sand_tpu import golden
+    from dc_sand_tpu.parallel import build_mesh
+    from dc_sand_tpu.parallel.distributed import (init_distributed,
+                                                  local_antenna_range)
+    from dc_sand_tpu.models.fx import make_sharded_fx_step
+    from dc_sand_tpu.utils import snr_db, np_c2ri
+    from dc_sand_tpu.windows import pfb_window
+
+    info = init_distributed(coordinator=f"localhost:{port}",
+                            num_processes=n_proc, process_id=pid)
+    assert info["process_count"] == n_proc, info
+    d = info["global_devices"]
+
+    n_ants, n_pols, taps, n_chans, nb = 8, 1, 4, 128, 8
+    m = 2 * n_chans
+    n = (nb + taps - 1) * m
+    rng = np.random.default_rng(7)  # same seed everywhere: same sky
+    x = golden.quantize_adc(golden.gaussian_noise((n_ants, n_pols, n),
+                                                  20.0, 7))
+    gains = np.full(n_chans, 0.05) + 0j
+    fd = rng.uniform(-0.5, 0.5, (n_ants, n_pols, nb))
+    ph = rng.uniform(-np.pi, np.pi, (n_ants, n_pols, nb))
+
+    # each host would ingest only its local antennas (SURVEY.md §2.3
+    # DP row); here every process holds the full array and hands jax
+    # its addressable antenna shards
+    a0, a1 = local_antenna_range(n_ants)
+    assert (a1 - a0) * n_proc == n_ants
+
+    mesh = build_mesh()  # all global devices on the fx axis
+    sh_ant = NamedSharding(mesh, P("fx"))
+
+    def shard_cb(index):
+        return x[index]
+
+    xg = jax.make_array_from_callback(x.shape, sh_ant, shard_cb)
+
+    step = make_sharded_fx_step(mesh, pfb_window(taps, m), taps, n_chans,
+                                n_ants, impl="jnp")
+    vis = step(xg, jnp.asarray(fd, jnp.float32),
+               jnp.asarray(ph, jnp.float32), jnp.asarray(np_c2ri(gains)),
+               jnp.zeros((n_ants, n_pols), jnp.int32))
+    jax.block_until_ready(vis)
+
+    # golden, on the full array (float64, host)
+    spec_g = golden.f_engine(x, pfb_window(taps, m), taps, n_chans,
+                             frac_delay=fd, phase=ph, gains=gains)
+    vis_g = golden.xcorr(spec_g)
+
+    # verify THIS process's addressable channel shards (out sharded on
+    # axis 3 over all 2N devices — truly distributed output)
+    checked = 0
+    for s in vis.addressable_shards:
+        got = np.asarray(s.data)
+        ref = vis_g[tuple(s.index)[:-1]]   # golden is complex: no ri axis
+        assert got.shape[:-1] == ref.shape, (got.shape, ref.shape)
+        snr = snr_db(ref, got[..., 0] + 1j * got[..., 1])
+        assert snr > 50, f"shard {s.index}: {snr:.1f} dB"
+        checked += 1
+    assert checked == d // n_proc, (checked, d, n_proc)
+    print(f"PASS proc {pid}/{n_proc}: {checked} channel shards "
+          f"> 50 dB over {d} global devices", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

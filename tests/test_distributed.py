@@ -1,0 +1,49 @@
+"""Multi-PROCESS SPMD level: the missing rung between the single-process
+CPU-mesh tests and a real pod.
+
+Two OS processes, each owning 2 virtual CPU devices, form one
+4-device mesh via ``jax.distributed`` (gloo collectives on CPU — the
+same program runs over ICI/DCN on a pod, SURVEY.md §2.3 collective
+backend row) and run the sharded FX step end to end; each process
+verifies its own addressable output shards vs golden.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.parametrize("n_proc", [2])
+def test_multiprocess_fx_step(n_proc):
+    port = _free_port()
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               JAX_PLATFORMS="cpu")
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(_HERE, "_mp_fx_worker.py"),
+         str(i), str(n_proc), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for i in range(n_proc)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i}:\n{out}"
+        assert "PASS" in out, f"proc {i}:\n{out}"
