@@ -9,6 +9,9 @@ Each process verifies ITS OWN addressable output shards against the
 float64 golden chain and prints PASS.
 
 Usage: _mp_fx_worker.py <process_id> <num_processes> <coordinator_port>
+       [mode]   mode = "fx" (default: all-to-all corner-turn + CMAC) or
+                "sp" (time-sharded F-engine: overlap-save halo ppermute
+                across the process boundary)
 """
 
 import os
@@ -35,10 +38,42 @@ def main() -> int:
     from dc_sand_tpu.utils import snr_db, np_c2ri
     from dc_sand_tpu.windows import pfb_window
 
+    mode = sys.argv[4] if len(sys.argv) > 4 else "fx"
     info = init_distributed(coordinator=f"localhost:{port}",
                             num_processes=n_proc, process_id=pid)
     assert info["process_count"] == n_proc, info
     d = info["global_devices"]
+
+    if mode == "sp":
+        # time-sharded F-engine: the overlap-save halo rides a ppermute
+        # whose middle edge crosses the PROCESS boundary
+        from dc_sand_tpu.models.fx import make_time_sharded_fengine
+        from dc_sand_tpu.utils import snr_db, np_ri2c
+        taps, n_chans = 4, 128
+        m = 2 * n_chans
+        frames = taps  # >= halo per shard
+        x = golden.quantize_adc(golden.gaussian_noise(
+            (2, 1, d * frames * m), 20.0, 9))
+        mesh = build_mesh(time_shards=d)
+        sh_t = NamedSharding(mesh, P(None, None, "time"))
+        xg = jax.make_array_from_callback(x.shape, sh_t,
+                                          lambda idx: x[idx])
+        fe = make_time_sharded_fengine(mesh, pfb_window(taps, m), taps,
+                                       n_chans, impl="jnp")
+        out = jax.block_until_ready(fe(xg))
+        lead = np.zeros((2, 1, (taps - 1) * m))
+        spec_g = golden.f_engine(np.concatenate([lead, x], -1),
+                                 pfb_window(taps, m), taps, n_chans)
+        checked = 0
+        for s in out.addressable_shards:
+            ref = spec_g[tuple(s.index)[:-1]]
+            snr = snr_db(ref, np_ri2c(np.asarray(s.data)))
+            assert snr > 50, f"shard {s.index}: {snr:.1f} dB"
+            checked += 1
+        assert checked == d // n_proc
+        print(f"PASS proc {pid}/{n_proc} (sp): {checked} time shards "
+              f"> 50 dB, halo crossed the process boundary", flush=True)
+        return 0
 
     n_ants, n_pols, taps, n_chans, nb = 8, 1, 4, 128, 8
     m = 2 * n_chans

@@ -24,15 +24,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.parametrize("n_proc", [2])
-def test_multiprocess_fx_step(n_proc):
+@pytest.mark.parametrize("mode", ["fx", "sp"])
+def test_multiprocess_step(mode, n_proc=2):
     port = _free_port()
     env = dict(os.environ,
                XLA_FLAGS="--xla_force_host_platform_device_count=2",
                JAX_PLATFORMS="cpu")
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(_HERE, "_mp_fx_worker.py"),
-         str(i), str(n_proc), str(port)],
+         str(i), str(n_proc), str(port), mode],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env) for i in range(n_proc)]
     outs = []
