@@ -24,6 +24,10 @@ def save_state(runner, path: str) -> str:
     report/reload the returned name, not the argument)."""
     if not path.endswith(".npz"):
         path = path + ".npz"
+    if getattr(runner, "_mp", False):
+        raise NotImplementedError(
+            "multi-process checkpoint (per-host shard save) is not "
+            "supported yet; checkpoint from a single-process runner")
     dm = runner.delay_model
     c = runner.counters
     np.savez(

@@ -68,6 +68,21 @@ class FXRunner:
         # on the host feed path by default (the device-side int8 gather
         # costs ~7.8 ms/chunk at 64 ants; see make_step docstring)
         self.coarse_on_host = coarse_on_host and cfg.apply_delay
+        # multi-PROCESS SPMD (a pod: one runner per host, one global
+        # mesh): sharded step inputs must be global jax.Arrays — the
+        # source feeds each host its LOCAL antennas' chunk and the
+        # runner assembles the global array (SURVEY.md §2.3 DP row)
+        self._mp = mesh is not None and jax.process_count() > 1
+        if self._mp and self.mode == "fengine":
+            raise NotImplementedError(
+                "multi-process fengine mode would emit antenna-sharded "
+                "per-chunk outputs; run fx or beam mode per host")
+        if self._mp and self.coarse_on_host and self.max_delay:
+            raise ValueError(
+                "multi-process runner: apply coarse delay at ingest "
+                "placement (NativeIngest.set_delay) or on device "
+                "(coarse_on_host=False) — the host-tail path is "
+                "single-process")
         dev_max_delay = 0 if self.coarse_on_host else self.max_delay
         self._step = make_step(cfg, window, max_delay=dev_max_delay,
                                mesh=mesh, impl=impl,
@@ -94,12 +109,21 @@ class FXRunner:
         self.history = jnp.zeros(
             history_shape(cfg, self._dev_max_delay, self._frames_io),
             jnp.int8)
+        if self._mp:
+            # carries/parameters as GLOBAL sharded arrays (the step's
+            # in_specs); gains/reset stay host-numpy — fully-replicated
+            # args may be identical per-process ndarrays
+            self.history = self._put_full(self.history, axis=0)
+            self.weights = self._put_full(self.weights, axis=1)
+            self.gains = np.asarray(self.gains)
         self._host_tail = (np.zeros((a, p, self.max_delay), np.int8)
                            if self.coarse_on_host and self.max_delay
                            else None)
         from dc_sand_tpu.models.pipeline import (zero_vis_acc,
                                                  fx_channel_perm)
         self.vis_acc = zero_vis_acc(cfg)
+        if self._mp and self.mode == "fx":
+            self.vis_acc = self._put_full(self.vis_acc, axis=0)
         if self.mode == "fx":
             # dump-time baseline extraction (jitted once; n_ants/n_pols
             # are static) — the accumulator itself carries the full
@@ -117,7 +141,17 @@ class FXRunner:
 
                 def _ex(acc):
                     return _ops.extract_vis(acc, a, p)[..., perm_j, :]
-            self._extract = jax.jit(_ex)
+            if self._mp:
+                # dump-time all-gather: every host gets the full
+                # visibility set (np.asarray needs full addressability;
+                # the channel unpermute is a global op).  Dump cadence
+                # makes this cheap relative to the integration window.
+                from jax.sharding import NamedSharding, PartitionSpec
+                self._extract = jax.jit(
+                    _ex, out_shardings=NamedSharding(mesh,
+                                                     PartitionSpec()))
+            else:
+                self._extract = jax.jit(_ex)
         # int32 CMAC headroom (ops/xcorr.py): |V| <= 2*127^2*n_spectra
         max_spectra = (2 ** 31 - 1) // (2 * 127 * 127)
         if self.mode == "fx" and cfg.n_spectra_per_acc > max_spectra:
@@ -130,6 +164,34 @@ class FXRunner:
         self._acc_spectra = 0       # spectra in current window (nominal)
         self._acc_integrated = 0    # spectra actually integrated
         self._acc_first_chunk = 0
+
+    # ------------------------------------------------------------------
+    def _put_full(self, arr, axis: int):
+        """Full-array-on-every-process -> global array sharded on
+        ``axis`` over the fx mesh axis (each process serves its
+        addressable shards from its identical host copy)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from dc_sand_tpu.parallel import FX_AXIS
+        a = np.asarray(arr)
+        sh = NamedSharding(self.mesh, P(*([None] * axis + [FX_AXIS])))
+        return jax.make_array_from_callback(a.shape, sh,
+                                            lambda idx: a[idx])
+
+    def _put_chunk(self, chunk):
+        """Source chunk -> device. Single-process: plain transfer.
+        Multi-process: the source provides only this host's LOCAL
+        antennas (rows ``local_antenna_range``); assemble the global
+        antenna-sharded array from the per-process blocks."""
+        if not self._mp:
+            return jnp.asarray(chunk)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from dc_sand_tpu.parallel import FX_AXIS
+        local = np.asarray(chunk)
+        rows = (self.cfg.n_ants * self.cfg.n_pols if self._frames_io
+                else self.cfg.n_ants)
+        sh = NamedSharding(self.mesh, P(FX_AXIS))
+        return jax.make_array_from_process_local_data(
+            sh, local, (rows,) + local.shape[1:])
 
     # ------------------------------------------------------------------
     def run(self, source: Callable[[int], np.ndarray], n_chunks: int,
@@ -153,11 +215,16 @@ class FXRunner:
             reset = self._acc_spectra == 0
             if reset:
                 self._acc_first_chunk = i
+            if self._mp:
+                args = (self._put_chunk(chunk), self._put_full(coarse, 0),
+                        self._put_full(frac, 0), self._put_full(phase, 0),
+                        self.gains, self.weights, np.asarray(reset))
+            else:
+                args = (jnp.asarray(chunk), jnp.asarray(coarse),
+                        jnp.asarray(frac), jnp.asarray(phase),
+                        self.gains, self.weights, jnp.asarray(reset))
             self.history, self.vis_acc, outputs = self._step(
-                self.history, self.vis_acc, jnp.asarray(chunk),
-                jnp.asarray(coarse), jnp.asarray(frac),
-                jnp.asarray(phase), self.gains, self.weights,
-                jnp.asarray(reset))
+                self.history, self.vis_acc, *args)
             if on_output is not None and outputs:
                 on_output(i, {k: np.asarray(v) for k, v in outputs.items()})
             if self.mode == "fx":
@@ -195,10 +262,16 @@ class FXRunner:
         """
         cfg = self.cfg
         b = cfg.spectra_per_chunk
+        n_ants_local = cfg.n_ants
+        if self._mp:
+            from dc_sand_tpu.parallel.distributed import \
+                local_antenna_range
+            a0, a1 = local_antenna_range(cfg.n_ants)
+            n_ants_local = a1 - a0
         dropped = i in drop
         if dropped:
-            chunk = np.zeros((cfg.n_ants, cfg.n_pols, cfg.chunk_samples),
-                             np.int8)
+            chunk = np.zeros((n_ants_local, cfg.n_pols,
+                              cfg.chunk_samples), np.int8)
             self.counters.chunks_dropped += 1
             logger.warning("chunk %d dropped (fault-injected)", i)
         else:
@@ -224,7 +297,8 @@ class FXRunner:
             # kernel's chunk ref wants.  Device-resident chunks
             # (e.g. a multi-ingest gather assembled on device)
             # reshape in place — never bounce through the host.
-            shp = (cfg.n_ants * cfg.n_pols, b, 2 * cfg.n_chans)
+            # (A = this process's LOCAL antennas under multi-process.)
+            shp = (n_ants_local * cfg.n_pols, b, 2 * cfg.n_chans)
             chunk = (chunk.reshape(shp) if isinstance(chunk, jax.Array)
                      else np.asarray(chunk).reshape(shp))
         self.counters.chunks_in += 1
@@ -260,6 +334,10 @@ class FXRunner:
         if self.mode != "fx":
             raise ValueError("run_batched is fx-mode only (other modes "
                              "emit per-chunk outputs; use run)")
+        if self._mp:
+            raise NotImplementedError(
+                "run_batched is a single-process offline-replay path; "
+                "multi-process streaming uses run()")
         b = cfg.spectra_per_chunk
         if cfg.n_spectra_per_acc % b:
             raise ValueError("n_spectra_per_acc must be a multiple of "

@@ -44,6 +44,43 @@ def main() -> int:
     assert info["process_count"] == n_proc, info
     d = info["global_devices"]
 
+    if mode == "runner":
+        # FULL streaming FXRunner across processes: each host feeds its
+        # LOCAL antennas' chunks; dumps all-gather at dump cadence
+        from dc_sand_tpu.config import ChainConfig
+        from dc_sand_tpu.runtime import FXRunner, DelayModel
+        from dc_sand_tpu.utils import snr_db
+        cfg = ChainConfig(name="mp", n_ants=8, n_pols=1, n_chans=128,
+                          n_taps=4, spectra_per_chunk=8,
+                          n_spectra_per_acc=16, run_xengine=True,
+                          apply_delay=False, apply_requant=True)
+        n_chunks = 4
+        x = golden.quantize_adc(golden.gaussian_noise(
+            (cfg.n_ants, 1, n_chunks * cfg.chunk_samples), 20.0, 21))
+        a0, a1 = local_antenna_range(cfg.n_ants)
+        mesh = build_mesh()
+        r = FXRunner(cfg, pfb_window(cfg.n_taps, cfg.fft_size),
+                     mesh=mesh, impl="jnp")
+        dumps, counters = r.run(
+            lambda i: x[a0:a1, :, i * cfg.chunk_samples:
+                        (i + 1) * cfg.chunk_samples],
+            n_chunks)
+        assert counters.dumps == 2, counters
+        lead = np.zeros((cfg.n_ants, 1, (cfg.n_taps - 1) * cfg.fft_size))
+        spec_g = golden.f_engine(
+            np.concatenate([lead, x], -1), pfb_window(cfg.n_taps,
+                                                      cfg.fft_size),
+            cfg.n_taps, cfg.n_chans,
+            gains=np.full(cfg.n_chans, cfg.quant_scale) + 0j)
+        for di, d in enumerate(dumps):
+            win = spec_g[:, :, di * 16:(di + 1) * 16]
+            snr = snr_db(golden.xcorr(win),
+                         d.vis[..., 0] + 1j * d.vis[..., 1])
+            assert snr > 50, f"dump {di}: {snr:.1f} dB"
+        print(f"PASS proc {pid}/{n_proc} (runner): {len(dumps)} dumps "
+              f"> 50 dB through the streaming runner", flush=True)
+        return 0
+
     if mode == "sp":
         # time-sharded F-engine: the overlap-save halo rides a ppermute
         # whose middle edge crosses the PROCESS boundary
