@@ -81,6 +81,49 @@ def main() -> int:
               f"> 50 dB through the streaming runner", flush=True)
         return 0
 
+    if mode == "beam":
+        # B-engine across processes: per-host partial beams psum over
+        # the process boundary (the EP-analog DCN collective); stokes
+        # and incoherent ride along replicated
+        from dc_sand_tpu.config import ChainConfig
+        from dc_sand_tpu.runtime import FXRunner
+        from dc_sand_tpu.utils import snr_db, np_ri2c
+        cfg = ChainConfig(name="mpb", n_ants=8, n_pols=2, n_chans=128,
+                          n_taps=4, spectra_per_chunk=8, n_beams=3,
+                          apply_delay=False, apply_requant=True,
+                          incoherent_beam=True, beam_stokes=True)
+        rng2 = np.random.default_rng(33)
+        wts = rng2.normal(size=(3, 8, 128, 2)).astype(np.float32)
+        n_chunks = 2
+        x = golden.quantize_adc(golden.gaussian_noise(
+            (8, 2, n_chunks * cfg.chunk_samples), 20.0, 34))
+        a0, a1 = local_antenna_range(cfg.n_ants)
+        mesh = build_mesh()
+        outs = []
+        r = FXRunner(cfg, pfb_window(cfg.n_taps, cfg.fft_size),
+                     weights=wts, mesh=mesh, impl="jnp")
+        r.run(lambda i: x[a0:a1, :, i * cfg.chunk_samples:
+                          (i + 1) * cfg.chunk_samples],
+              n_chunks, on_output=lambda i, o: outs.append(o))
+        lead = np.zeros((8, 2, (cfg.n_taps - 1) * cfg.fft_size))
+        spec_g = golden.f_engine(
+            np.concatenate([lead, x], -1),
+            pfb_window(cfg.n_taps, cfg.fft_size), cfg.n_taps,
+            cfg.n_chans, gains=np.full(cfg.n_chans,
+                                       cfg.quant_scale) + 0j)
+        b = cfg.spectra_per_chunk
+        wg = wts[..., 0] + 1j * wts[..., 1]
+        beams_g = golden.beamform(spec_g[:, :, b:], wg)
+        snr = snr_db(beams_g, np_ri2c(np.asarray(outs[1]["beams"])))
+        assert snr > 50, f"beams: {snr:.1f} dB"
+        snr_s = snr_db(golden.stokes(beams_g),
+                       np.asarray(outs[1]["stokes"]))
+        assert snr_s > 50, f"stokes: {snr_s:.1f} dB"
+        print(f"PASS proc {pid}/{n_proc} (beam): beams {snr:.1f} dB, "
+              f"stokes {snr_s:.1f} dB via cross-process psum",
+              flush=True)
+        return 0
+
     if mode == "sp":
         # time-sharded F-engine: the overlap-save halo rides a ppermute
         # whose middle edge crosses the PROCESS boundary
