@@ -288,6 +288,21 @@ class TestFusedFEngine:
                 np.testing.assert_allclose(
                     got, ref, rtol=0, atol=2e-5 * np.abs(ref).max())
 
+    def test_split_io_explicit_bad_tiling_raises(self):
+        """An EXPLICIT tb that does not tile the chunk must raise, not
+        silently re-choose (a tb=128 bench datapoint would otherwise
+        measure the auto tiling)."""
+        from dc_sand_tpu.ops.fengine_fused import fengine_fused, _round_up
+        rng = np.random.default_rng(35)
+        taps, nch, B, s = 4, 512, 8, 1
+        m = 2 * nch
+        hist = np.zeros((s, _round_up(taps, 8), m), np.int8)
+        chunk = rng.integers(-80, 80, (s, B, m)).astype(np.int8)
+        with pytest.raises(ValueError, match="explicit tiling"):
+            fengine_fused(jnp.asarray(chunk), pfb_window(taps, m), taps,
+                          nch, history=jnp.asarray(hist), tb=128,
+                          interpret=True)
+
     def test_split_io_native_layout_streaming_vs_one_shot(self):
         """Two frames-I/O chunks chained through the carried history
         equal one long concatenated stream (overlap-save continuity
