@@ -73,6 +73,18 @@ class FXRunner:
         # source feeds each host its LOCAL antennas' chunk and the
         # runner assembles the global array (SURVEY.md §2.3 DP row)
         self._mp = mesh is not None and jax.process_count() > 1
+        self._n_ants_local = cfg.n_ants
+        if self._mp:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from dc_sand_tpu.parallel import FX_AXIS
+            from dc_sand_tpu.parallel.distributed import \
+                local_antenna_range
+            a0, a1 = local_antenna_range(cfg.n_ants)
+            self._n_ants_local = a1 - a0
+            # shardings reused every chunk (the feed path is hot)
+            self._sh_by_axis = {
+                ax: NamedSharding(mesh, P(*([None] * ax + [FX_AXIS])))
+                for ax in (0, 1)}
         if self._mp and self.mode == "fengine":
             raise NotImplementedError(
                 "multi-process fengine mode would emit antenna-sharded "
@@ -170,12 +182,9 @@ class FXRunner:
         """Full-array-on-every-process -> global array sharded on
         ``axis`` over the fx mesh axis (each process serves its
         addressable shards from its identical host copy)."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from dc_sand_tpu.parallel import FX_AXIS
         a = np.asarray(arr)
-        sh = NamedSharding(self.mesh, P(*([None] * axis + [FX_AXIS])))
-        return jax.make_array_from_callback(a.shape, sh,
-                                            lambda idx: a[idx])
+        return jax.make_array_from_callback(
+            a.shape, self._sh_by_axis[axis], lambda idx: a[idx])
 
     def _put_chunk(self, chunk):
         """Source chunk -> device. Single-process: plain transfer.
@@ -184,14 +193,11 @@ class FXRunner:
         antenna-sharded array from the per-process blocks."""
         if not self._mp:
             return jnp.asarray(chunk)
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from dc_sand_tpu.parallel import FX_AXIS
         local = np.asarray(chunk)
         rows = (self.cfg.n_ants * self.cfg.n_pols if self._frames_io
                 else self.cfg.n_ants)
-        sh = NamedSharding(self.mesh, P(FX_AXIS))
         return jax.make_array_from_process_local_data(
-            sh, local, (rows,) + local.shape[1:])
+            self._sh_by_axis[0], local, (rows,) + local.shape[1:])
 
     # ------------------------------------------------------------------
     def run(self, source: Callable[[int], np.ndarray], n_chunks: int,
@@ -262,12 +268,7 @@ class FXRunner:
         """
         cfg = self.cfg
         b = cfg.spectra_per_chunk
-        n_ants_local = cfg.n_ants
-        if self._mp:
-            from dc_sand_tpu.parallel.distributed import \
-                local_antenna_range
-            a0, a1 = local_antenna_range(cfg.n_ants)
-            n_ants_local = a1 - a0
+        n_ants_local = self._n_ants_local
         dropped = i in drop
         if dropped:
             chunk = np.zeros((n_ants_local, cfg.n_pols,
