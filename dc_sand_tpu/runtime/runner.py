@@ -89,6 +89,12 @@ class FXRunner:
             raise NotImplementedError(
                 "multi-process fengine mode would emit antenna-sharded "
                 "per-chunk outputs; run fx or beam mode per host")
+        if self._mp and cfg.time_shards > 1:
+            raise NotImplementedError(
+                "multi-process SP streaming: the runner's global-array "
+                "assembly shards antennas; time-axis sharding across "
+                "processes is exercised at the model level "
+                "(make_time_sharded_fengine, tests/test_distributed.py)")
         if self._mp and self.coarse_on_host and self.max_delay:
             raise ValueError(
                 "multi-process runner: apply coarse delay at ingest "
