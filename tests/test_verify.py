@@ -25,3 +25,12 @@ def test_beam64_passes_scaled():
     snrs, _ = verify_config("beam64", scale=128, impl="jnp")
     assert snrs["beams"] > SNR_BOUND
     assert snrs["incoherent"] > SNR_BOUND
+
+
+def test_misaligned_cadence_rejected():
+    """The golden oracle slices exact integration windows while the
+    runner dumps at chunk boundaries — a misaligned cadence must raise,
+    not report a silently wrong SNR."""
+    with pytest.raises(ValueError, match="multiple of spectra_per_chunk"):
+        verify_config("fx4", scale=128, impl="jnp",
+                      spectra_per_chunk=12, n_spectra_per_acc=32)
