@@ -33,4 +33,4 @@ def test_misaligned_cadence_rejected():
     not report a silently wrong SNR."""
     with pytest.raises(ValueError, match="multiple of spectra_per_chunk"):
         verify_config("fx4", scale=128, impl="jnp",
-                      spectra_per_chunk=12, n_spectra_per_acc=32)
+                      spectra_per_chunk=3, n_spectra_per_acc=None)
