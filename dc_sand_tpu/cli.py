@@ -66,8 +66,14 @@ def cmd_verify(args) -> int:
         from dc_sand_tpu.bench.harness import BenchResult
         vname = args.config + ("_production" if args.production_cadence
                                else "")
+        # RESOLVED shape keys: '--stage2 bf16x3' and the default (None ->
+        # kernel default bf16x3) are the same experiment and must share
+        # a regression series; 'auto' resolves per platform, which is
+        # already a series dimension
+        from dc_sand_tpu.ops._dispatch import resolve_impl
         extra = dict(snrs)
-        extra.update(impl=args.impl, stage2=args.stage2,
+        extra.update(impl=resolve_impl(args.impl),
+                     stage2=args.stage2 or "bf16x3",
                      time_shards=args.time_shards)
         if args.scale:
             extra["n_chans"] = args.scale

@@ -181,6 +181,15 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
     taps, n_chans = cfg.n_taps, cfg.n_chans
     quantized = cfg.apply_requant
     device_coarse = cfg.apply_delay and not coarse_on_host
+    if max_delay and not device_coarse:
+        # a lead-in only exists to feed the device coarse gather; with
+        # coarse on the host/ingest path the step would silently drop
+        # the lead-in and IGNORE the coarse argument — misaligned
+        # visibilities with no error
+        raise ValueError(
+            "max_delay > 0 requires the device coarse path "
+            "(coarse_on_host=False with cfg.apply_delay); host/ingest "
+            "coarse modes take max_delay=0")
     if cfg.beam_stokes and (mode != "beam" or cfg.n_pols != 2):
         raise ValueError("beam_stokes needs dual-pol beams "
                          f"(mode={mode}, n_pols={cfg.n_pols})")

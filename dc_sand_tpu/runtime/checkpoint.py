@@ -57,6 +57,12 @@ def load_state(runner, path: str) -> None:
     """Restore a runner's carry in place; config hash must match."""
     import jax.numpy as jnp
     import os
+    if getattr(runner, "_mp", False):
+        # mirror save_state: restoring host-local arrays would replace
+        # the global sharded carries the multi-process step requires
+        raise NotImplementedError(
+            "multi-process checkpoint restore is not supported yet; "
+            "resume with a single-process runner")
     if not os.path.exists(path) and os.path.exists(path + ".npz"):
         path = path + ".npz"      # accept the pre-normalisation name
     z = np.load(path, allow_pickle=False)
