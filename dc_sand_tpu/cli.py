@@ -203,9 +203,24 @@ def _run_bench(args) -> int:
 
 
 def cmd_info(args) -> int:
-    import jax
+    import threading
     from dc_sand_tpu.config import CONFIG_NAMES, get_config
-    print(f"backend: {jax.default_backend()}; devices: {jax.devices()}")
+
+    # backend init dials the tunnelled TPU on some dev boxes and hangs
+    # forever when the tunnel is down — probe with a deadline so `info`
+    # (the first command anyone runs) always answers
+    found: list = []
+
+    def probe() -> None:
+        import jax
+        found.append(f"{jax.default_backend()}; devices: {jax.devices()}")
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(30.0)
+    print("backend: " + (found[0] if found
+                         else "UNREACHABLE (init did not complete in "
+                              "30 s — TPU tunnel down?)"))
     for n in CONFIG_NAMES:
         c = get_config(n)
         print(f"  {n}: ants={c.n_ants} pols={c.n_pols} chans={c.n_chans} "
