@@ -202,13 +202,16 @@ def _run_bench(args) -> int:
     return 0
 
 
-def cmd_info(args) -> int:
-    import threading
-    from dc_sand_tpu.config import CONFIG_NAMES, get_config
+def _probe_backend(timeout_s: float):
+    """Initialise the jax backend with a deadline.
 
-    # backend init dials the tunnelled TPU on some dev boxes and hangs
-    # forever when the tunnel is down — probe with a deadline so `info`
-    # (the first command anyone runs) always answers
+    Backend init dials the tunnelled TPU on some dev boxes and hangs
+    forever when the tunnel is down.  Returns a description string on
+    success, None on timeout; on success the initialised backend is
+    cached process-wide.
+    """
+    import threading
+
     found: list = []
 
     def probe() -> None:
@@ -217,8 +220,14 @@ def cmd_info(args) -> int:
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(30.0)
-    print("backend: " + (found[0] if found
+    t.join(timeout_s)
+    return found[0] if found else None
+
+
+def cmd_info(args) -> int:
+    from dc_sand_tpu.config import CONFIG_NAMES, get_config
+    desc = _probe_backend(30.0)
+    print("backend: " + (desc if desc
                          else "UNREACHABLE (init did not complete in "
                               "30 s — TPU tunnel down?)"))
     for n in CONFIG_NAMES:
@@ -287,6 +296,16 @@ def main(argv=None) -> int:
         print(f"distributed: {info}")
         import jax
         args.mesh = len(jax.devices())
+    elif args.cmd in ("verify", "run", "bench") \
+            and not getattr(args, "cpu", False):
+        # accelerator commands: bound backend init so a dead TPU tunnel
+        # fails in minutes with a message, not a silent forever-hang
+        # (first-compile slowness only starts AFTER init succeeds)
+        if _probe_backend(300.0) is None:
+            print("error: jax backend init did not complete within "
+                  "300 s — TPU tunnel unreachable? (use --cpu for the "
+                  "CPU path)", file=sys.stderr)
+            return 2
     return args.fn(args)
 
 
