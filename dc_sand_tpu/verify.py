@@ -144,11 +144,25 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
     if cfg.n_beams:
         weights = rng.normal(size=(cfg.n_beams, a, k, 2)).astype(np.float32)
 
+    # under a multi-PROCESS mesh (pod bring-up: `cli verify
+    # --distributed`) each host feeds only its local antennas, and
+    # coarse delay runs on DEVICE (the host-tail path is
+    # single-process; production uses ingest placement).  The synthetic
+    # sky is seeded identically everywhere so the golden oracle below
+    # still sees the full array.
+    import jax
+    multiproc = mesh is not None and jax.process_count() > 1
+    a_lo, a_hi = 0, a
+    if multiproc:
+        from dc_sand_tpu.parallel.distributed import local_antenna_range
+        a_lo, a_hi = local_antenna_range(a)
     runner = FXRunner(cfg, window, delay_model=dm, gains=gains_ri,
-                      weights=weights, mesh=mesh, impl=impl)
+                      weights=weights, mesh=mesh, impl=impl,
+                      coarse_on_host=not multiproc)
     outputs = []
     dumps, counters = runner.run(
-        lambda i: stream[..., i * cfg.chunk_samples:(i + 1) *
+        lambda i: stream[a_lo:a_hi, :,
+                         i * cfg.chunk_samples:(i + 1) *
                          cfg.chunk_samples],
         n_chunks, on_output=lambda i, o: outputs.append(o))
 

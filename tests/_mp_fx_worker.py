@@ -81,6 +81,19 @@ def main() -> int:
               f"> 50 dB through the streaming runner", flush=True)
         return 0
 
+    if mode == "verify":
+        # the full verification harness itself, multi-process (what
+        # `cli verify --distributed` runs at pod bring-up)
+        from dc_sand_tpu.verify import verify_config, SNR_BOUND
+        mesh = build_mesh()
+        snrs, counters = verify_config("fx4", scale=128, mesh=mesh,
+                                       impl="jnp")
+        assert snrs["visibilities"] > SNR_BOUND, snrs
+        print(f"PASS proc {pid}/{n_proc} (verify): "
+              f"{snrs['visibilities']:.1f} dB via verify_config over "
+              f"{d} global devices", flush=True)
+        return 0
+
     if mode == "beam":
         # B-engine across processes: per-host partial beams psum over
         # the process boundary (the EP-analog DCN collective); stokes

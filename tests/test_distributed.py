@@ -24,7 +24,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.parametrize("mode", ["fx", "sp", "runner", "beam"])
+@pytest.mark.parametrize("mode", ["fx", "sp", "runner", "beam",
+                                  "verify"])
 def test_multiprocess_step(mode, n_proc=2):
     port = _free_port()
     env = dict(os.environ,
