@@ -226,6 +226,24 @@ class TestFusedFEngine:
         # a few dB on small integers; contract bound is 50 (BASELINE.json:5)
         assert snr_db(ref, np_ri2c(out)) > 65
 
+    @pytest.mark.parametrize("nch", [1024, 2048, 4096])
+    def test_contract_channel_counts_match_golden(self, nch):
+        """Stage-1 DIF depth grows with m2 = M/m1 (4 at the 512-chan
+        test shape, but 8/16/32 at the contract shapes) — the deeper
+        butterfly codegen and k2-group tiling must be CI-verified, not
+        only hardware-verified."""
+        from dc_sand_tpu.ops.fengine_fused import fengine_fused
+        taps, B = 4, 16
+        m, x, w, fd, ph, g = self._data(taps, nch, B, seed=22)
+        ref = golden.f_engine(x, w, taps, nch, frac_delay=fd, phase=ph,
+                              gains=g)
+        out = fengine_fused(jnp.asarray(x), w, taps, nch,
+                            frac_delay=jnp.asarray(fd),
+                            phase=jnp.asarray(ph),
+                            gains=jnp.asarray(np_c2ri(g)),
+                            interpret=True)
+        assert snr_db(ref, np_ri2c(out)) > 65
+
     def test_fir_modes_bitwise(self):
         """fir_mode="mxu" (shifted-identity MXU dots producing the
         shifted FIR operands) is BITWISE the roll path: buf holds
