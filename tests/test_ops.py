@@ -351,6 +351,26 @@ class TestFusedFEngine:
         np.testing.assert_allclose(got, ref,
                                    rtol=0, atol=2e-5 * np.abs(ref).max())
 
+    def test_native_layout_decodes_to_golden_at_depth(self):
+        """Native plane layout at a contract-scale m2 (=16; the 512-chan
+        tests only cover m2=4): decoding (s, m2, 2, B, k1n) planes by
+        k = k2 + m2*k1 must reproduce the golden spectra."""
+        from dc_sand_tpu.ops.fengine_fused import (fengine_fused,
+                                                   native_factor)
+        taps, nch, B = 4, 2048, 16
+        m, x, w, fd, ph, g = self._data(taps, nch, B, seed=23)
+        qn = np.asarray(fengine_fused(
+            jnp.asarray(x), w, taps, nch, frac_delay=jnp.asarray(fd),
+            phase=jnp.asarray(ph), gains=jnp.asarray(np_c2ri(g)),
+            layout="native", interpret=True))
+        m2, k1n = native_factor(nch)
+        assert qn.shape == (2, m2, 2, B, k1n)
+        # k = k2 + m2*k1: (s, B, k1n, m2, c) raveled over (k1, k2)
+        wire = qn.transpose(0, 3, 4, 1, 2).reshape(2, B, nch, 2)
+        ref = golden.f_engine(x, w, taps, nch, frac_delay=fd, phase=ph,
+                              gains=g)
+        assert snr_db(ref, np_ri2c(wire)) > 65
+
     def test_small_m_falls_back(self):
         """Shapes the kernel can't tile route to the unfused ops."""
         from dc_sand_tpu.ops.fengine_fused import fengine_fused
