@@ -527,12 +527,14 @@ class TestXcorrAccumulate:
                         for q in chunks)
         np.testing.assert_array_equal(vis, per_chunk)
 
-    def test_native_layout_kernel_matches_transpose_path_bitwise(self):
+    @pytest.mark.parametrize("b", [128, 512])
+    def test_native_layout_kernel_matches_transpose_path_bitwise(self, b):
         """The fused relayout+CMAC kernel (MXU identity-dot corner-turn,
         bf16 CMAC with fp32 accumulation) is exact vs the int8 a2 path
-        at a kernel-eligible shape (b and k1n multiples of 128)."""
+        at a kernel-eligible shape (b and k1n multiples of 128).
+        b=512 drives the kg group scaling (kg 32 -> 16)."""
         rng = np.random.default_rng(7)
-        a, p, m2, b, k1n = 4, 2, 2, 128, 128
+        a, p, m2, k1n = 4, 2, 2, 128
         qn = jnp.asarray(rng.integers(-127, 128, (a, p, m2, 2, b, k1n),
                                       dtype=np.int8))
         acc0 = jnp.asarray(rng.integers(-1000, 1000,
