@@ -431,12 +431,14 @@ class TestBeamformPallas:
         ref_g = golden.beamform(qc, wg)
         assert snr_db(ref_g, np_ri2c(got)) > 85
 
-    def test_native_layout_beamform_matches_wire_path(self):
+    @pytest.mark.parametrize("b", [128, 512])
+    def test_native_layout_beamform_matches_wire_path(self, b):
         """beamform_native (MXU identity-dot relayout from the fused
         F-engine's plane layout, per-(k1, pol) bf16-split matmuls)
-        equals decoding to wire order and beamforming there."""
+        equals decoding to wire order and beamforming there.
+        b=512 drives the kg group scaling (kg 32 -> 16)."""
         rng = np.random.default_rng(57)
-        a, p, m2, b, k1n, nb = 4, 2, 2, 128, 128, 4
+        a, p, m2, k1n, nb = 4, 2, 2, 128, 4
         k = m2 * k1n
         qn = jnp.asarray(rng.integers(-100, 100, (a, p, m2, 2, b, k1n),
                                       dtype=np.int8))
