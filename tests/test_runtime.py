@@ -352,6 +352,36 @@ class TestRunnerFEngine:
         inc_g = golden.incoherent_sum(spec_g[:, :, B_CHUNK:])
         assert snr_db(inc_g, outs[1]["incoherent"]) > 50
 
+    def test_mid_run_repointing(self):
+        """Beam weights are host-updatable between chunks (SURVEY C12:
+        'updated per chunk') — re-pointing mid-run takes effect on the
+        next chunk with no rebuild."""
+        import jax.numpy as jnp
+        cfg = ChainConfig(name="t", n_ants=4, n_pols=2, n_chans=N_CHANS,
+                          n_taps=TAPS, spectra_per_chunk=B_CHUNK,
+                          apply_delay=False, apply_requant=True,
+                          n_beams=2)
+        rng = np.random.default_rng(14)
+        w1 = rng.normal(size=(2, 4, N_CHANS, 2)).astype(np.float32)
+        w2 = rng.normal(size=(2, 4, N_CHANS, 2)).astype(np.float32)
+        stream = _make_stream(cfg, 3, seed=15)
+        outs = []
+        r = FXRunner(cfg, pfb_window(TAPS, M), weights=w1, impl="jnp")
+
+        def on_out(i, o):
+            outs.append(o)
+            if i == 1:
+                r.weights = jnp.asarray(w2)     # re-point mid-run
+
+        r.run(_source(stream, cfg), 3, on_output=on_out)
+        spec_g = _golden_chain(
+            cfg, stream, DelayModel.zeros(cfg.n_ants, cfg.n_pols),
+            np.full(cfg.n_chans, cfg.quant_scale) + 0j, 3)
+        for ci, wts in ((1, w1), (2, w2)):      # chunk 2 uses w2
+            sl = spec_g[:, :, ci * B_CHUNK:(ci + 1) * B_CHUNK]
+            ref = golden.beamform(sl, wts[..., 0] + 1j * wts[..., 1])
+            assert snr_db(ref, np_ri2c(outs[ci]["beams"])) > 50, ci
+
     def test_beam_stokes_matches_golden(self):
         """cfg.beam_stokes emits I/Q/U/V detection on the float beam
         voltages (C10 downstream product), vs golden.stokes."""
