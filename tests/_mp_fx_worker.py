@@ -72,10 +72,10 @@ def main() -> int:
                                                       cfg.fft_size),
             cfg.n_taps, cfg.n_chans,
             gains=np.full(cfg.n_chans, cfg.quant_scale) + 0j)
-        for di, d in enumerate(dumps):
+        for di, dump in enumerate(dumps):
             win = spec_g[:, :, di * 16:(di + 1) * 16]
             snr = snr_db(golden.xcorr(win),
-                         d.vis[..., 0] + 1j * d.vis[..., 1])
+                         dump.vis[..., 0] + 1j * dump.vis[..., 1])
             assert snr > 50, f"dump {di}: {snr:.1f} dB"
         print(f"PASS proc {pid}/{n_proc} (runner): {len(dumps)} dumps "
               f"> 50 dB through the streaming runner", flush=True)

@@ -28,5 +28,3 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_device", "cpu")
 
 
-def cpu_devices(n=8):
-    return jax.devices("cpu")[:n]

@@ -36,15 +36,21 @@ def test_multiprocess_step(mode, n_proc=2):
          str(i), str(n_proc), str(port), mode],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env) for i in range(n_proc)]
-    outs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=300)
-            outs.append(out)
-    finally:
-        for p in procs:
+    # drain CONCURRENTLY: a crashed worker filling its un-read pipe
+    # would otherwise block while its peer waits on a collective, and
+    # the sequential communicate() timeout would discard the one
+    # traceback that explains the failure
+    from concurrent.futures import ThreadPoolExecutor
+
+    def drain(p):
+        try:
+            return p.communicate(timeout=300)[0]
+        finally:
             if p.poll() is None:
                 p.kill()
+
+    with ThreadPoolExecutor(len(procs)) as ex:
+        outs = list(ex.map(drain, procs))
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i}:\n{out}"
         assert "PASS" in out, f"proc {i}:\n{out}"

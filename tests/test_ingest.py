@@ -1,13 +1,19 @@
 """Native ingest library (csrc/ingest.cpp): packet reassembly, 10-bit
 unpack, out-of-order & late-packet semantics — vs NumPy references."""
 
+import os
 import shutil
 
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
-                                reason="no C++ toolchain")
+# the library builds with make+g++ on demand; a prebuilt .so also works
+_SO = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "csrc", "libingest.so")
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(_SO) and (shutil.which("make") is None
+                                 or shutil.which("g++") is None),
+    reason="no prebuilt libingest.so and no C++ toolchain")
 
 from dc_sand_tpu.runtime.ingest import NativeIngest, unpack_10bit  # noqa: E402
 

@@ -330,7 +330,6 @@ class TestFusedFEngine:
         taps, nch, B, s = 4, 512, 8, 2
         m = 2 * nch
         taps_pad = _round_up(taps, 8)
-        pad0 = taps_pad - taps + 1
         w = pfb_window(taps, m)
         chunks = [rng.integers(-80, 80, (s, B, m)).astype(np.int8)
                   for _ in range(2)]

@@ -79,10 +79,15 @@ class TestFringeStopping:
         assert abs(diff) < 0.08
 
     def test_incoherent_when_uncompensated_coherent_when_fixed(self):
-        """Coherence amplitude: compensated >> uncompensated for a
-        half-channel offset tone (decorrelation check)."""
+        """Half-channel offset tone: with a CONSTANT delay both runs
+        keep full correlation amplitude (decorrelation needs a drifting
+        phase within the window) — what compensation fixes is the
+        PHASE.  Assert both: amplitude persists through compensation
+        (a fine-delay regression that decorrelates the tone would
+        collapse |v_c| and make the angle noise), and the phase is
+        stopped only in the compensated run."""
         v_c, _ = self._run([0.5, 10.5], compensate=True)
         v_u, _ = self._run([0.5, 10.5], compensate=False)
-        # both correlate a tone so amplitude persists, but phase differs
+        assert abs(v_c) > 0.5 * abs(v_u) > 0
         assert abs(np.angle(v_c)) < 0.05
         assert abs(np.angle(v_u)) > 0.2

@@ -37,26 +37,14 @@ def _source(stream, cfg):
 
 
 def _golden_chain(cfg, stream, dm, gains, n_chunks):
-    """Golden reference for the runner: zero lead-in of history+max_delay,
-    the same per-chunk delay evaluation."""
-    lead = dm.max_delay + (cfg.n_taps - 1) * cfg.fft_size
-    xg = np.concatenate(
-        [np.zeros(stream.shape[:-1] + (lead,)), stream], axis=-1)
-    fracs, phases = [], []
-    coarse = None
-    for i in range(n_chunks):
-        c, f, p = dm.evaluate_chunk(i * cfg.chunk_samples,
-                                    cfg.spectra_per_chunk, cfg.fft_size)
-        coarse = c  # constant-delay tests only (d1 == 0)
-        fracs.append(f)
-        phases.append(p)
-    frac = np.concatenate(fracs, axis=-1)
-    phase = np.concatenate(phases, axis=-1)
-    return golden.f_engine(xg, pfb_window(cfg.n_taps, cfg.fft_size,
-                                          cfg.window), cfg.n_taps,
-                           cfg.n_chans, coarse_delays=coarse,
-                           max_delay=dm.max_delay, frac_delay=frac,
-                           phase=phase, gains=gains)
+    """Golden reference for the runner — delegates to the verify
+    module's oracle (per-chunk coarse delay, correct for drifting
+    models too) so the suite has ONE oracle that cannot drift from
+    the one the CLI grades against."""
+    from dc_sand_tpu.verify import _golden_spectra
+    return _golden_spectra(cfg, stream, dm, gains, n_chunks,
+                           pfb_window(cfg.n_taps, cfg.fft_size,
+                                      cfg.window))
 
 
 class TestRunnerFX:
