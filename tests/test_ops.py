@@ -586,3 +586,49 @@ class TestFusedInt16Stage2:
         out = fengine_fused(jnp.asarray(x), w, taps, nch,
                             stage2="int16", interpret=True)
         assert snr_db(ref, np_ri2c(out)) > 70
+
+
+class TestFuzzFEngine:
+    def test_shapes_fuzz_vs_golden(self):
+        """Property fuzz over (taps, chans, ants, pols, chunks, stage
+        toggles): the jnp F-engine path must track the float64 golden
+        chain above the contract bound at ANY shape combination, not
+        just the pinned test shapes."""
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=15, deadline=None)
+        @given(st.data())
+        def check(data):
+            taps = data.draw(st.sampled_from([2, 3, 4, 8, 16]))
+            nch = data.draw(st.sampled_from([16, 32, 64, 128]))
+            a = data.draw(st.integers(1, 3))
+            p = data.draw(st.integers(1, 2))
+            nb = data.draw(st.integers(1, 6))
+            with_delay = data.draw(st.booleans())
+            with_gains = data.draw(st.booleans())
+            seed = data.draw(st.integers(0, 2**16))
+            m = 2 * nch
+            rng = np.random.default_rng(seed)
+            x = _noise_int8((a, p, (nb + taps - 1) * m), seed=seed)
+            w = pfb_window(taps, m)
+            kw_g, kw_j = {}, {}
+            if with_delay:
+                fd = rng.uniform(-0.5, 0.5, (a, p, nb))
+                ph = rng.uniform(-np.pi, np.pi, (a, p, nb))
+                kw_g = {"frac_delay": fd, "phase": ph}
+                kw_j = {"frac_delay": jnp.asarray(fd, jnp.float32),
+                        "phase": jnp.asarray(ph, jnp.float32)}
+            if with_gains:
+                g = np.full(nch, 0.05) * np.exp(
+                    1j * rng.uniform(-np.pi, np.pi, nch))
+                kw_g["gains"] = g
+                kw_j["gains"] = jnp.asarray(np_c2ri(g))
+            ref = golden.f_engine(x, w, taps, nch, **kw_g)
+            out = jx_f_engine(jnp.asarray(x), w, taps, nch, impl="jnp",
+                              **kw_j)
+            snr = snr_db(ref, np_ri2c(out))
+            bound = 55 if with_gains else 100  # int8 requant boundaries
+            assert snr > bound, (taps, nch, a, p, nb, with_delay,
+                                 with_gains, snr)
+
+        check()
