@@ -287,6 +287,18 @@ def main(argv=None) -> int:
 
     args = ap.parse_args(argv)
     if getattr(args, "cpu", False):
+        import os
+        need = max(getattr(args, "mesh", 0) or 1,
+                   getattr(args, "time_shards", 1))
+        if need > 1:
+            # simulated mesh on one host: the device count must be
+            # forced BEFORE backend init (tests/conftest.py does the
+            # same for the suite)
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + " --xla_force_host_platform_device_count="
+                    f"{need}").strip()
         import jax
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_device", "cpu")
