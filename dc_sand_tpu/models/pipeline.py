@@ -401,6 +401,10 @@ def _make_sp_step(cfg: ChainConfig, window, *, mesh, impl: str,
             outputs["spectra"] = q
         else:  # beam
             coh = ops.beamform(q, weights)
+            if cfg.beam_stokes:
+                # detection on the float beams, per time shard (purely
+                # elementwise over the time-sharded spectra axis)
+                outputs["stokes"] = ops.stokes(coh)
             if cfg.beam_quant_scale:
                 coh = jnp.clip(
                     jnp.rint(coh * cfg.beam_quant_scale), -127, 127
@@ -411,9 +415,14 @@ def _make_sp_step(cfg: ChainConfig, window, *, mesh, impl: str,
         return new_history, vis_acc, outputs
 
     t = P(None, None, TIME_AXIS)     # (a, p, time-sharded samples)
-    out_sp = {"spectra": t} if mode == "fengine" else (
-        {"beams": t, "incoherent": P(None, TIME_AXIS)}
-        if cfg.incoherent_beam else {"beams": t})
+    if mode == "fengine":
+        out_sp = {"spectra": t}
+    else:
+        out_sp = {"beams": t}
+        if cfg.beam_stokes:
+            out_sp["stokes"] = t     # (beam, 4, b-sharded, k)
+        if cfg.incoherent_beam:
+            out_sp["incoherent"] = P(None, TIME_AXIS)
     fn = _shard_map(
         step, mesh=mesh,
         in_specs=(t, P(None), t, P(), t, t, P(), P(), P()),

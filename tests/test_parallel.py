@@ -339,7 +339,7 @@ class TestSPStreamingMode:
         base = dict(name="t", n_ants=4, n_pols=2, n_chans=N_CHANS,
                     n_taps=TAPS, spectra_per_chunk=4 * d, n_beams=2,
                     apply_delay=True, apply_requant=True,
-                    incoherent_beam=True)
+                    incoherent_beam=True, beam_stokes=True)
         rng = np.random.default_rng(81)
         wts = rng.normal(size=(2, 4, N_CHANS, 2)).astype(np.float32)
         stream = _noise_int8((4, 2, 2 * 4 * d * M), seed=82)
@@ -361,6 +361,9 @@ class TestSPStreamingMode:
                                        rtol=1e-6, atol=1e-4)
             np.testing.assert_allclose(sp[c]["incoherent"],
                                        ref[c]["incoherent"],
+                                       rtol=1e-6, atol=1e-4)
+            np.testing.assert_allclose(sp[c]["stokes"],
+                                       ref[c]["stokes"],
                                        rtol=1e-6, atol=1e-4)
 
     def test_sp_rejects_fx_mode(self):
