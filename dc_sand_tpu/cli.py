@@ -19,7 +19,11 @@ def _add_common(p):
                    help="fused-kernel stage-2 precision override "
                         "(default: the kernel's bf16x3)")
     p.add_argument("--impl", default="auto",
-                   choices=["auto", "jnp", "pallas", "pallas_interpret"])
+                   choices=["auto", "jnp", "pallas", "pallas_interpret",
+                            "fused", "fused_interpret"],
+                   help="auto = fused Pallas on TPU, jnp elsewhere; "
+                        "fused = STRICT (untileable shapes raise, the "
+                        "production pin); *_interpret = CPU emulation")
     p.add_argument("--scale", type=int, default=None,
                    help="reduce n_chans for quick CPU checks")
     p.add_argument("--cpu", action="store_true",
@@ -72,7 +76,10 @@ def cmd_verify(args) -> int:
         # already a series dimension
         from dc_sand_tpu.ops._dispatch import resolve_impl
         extra = dict(snrs)
-        extra.update(impl=resolve_impl(args.impl),
+        # resolve_impl only knows the generic tiers; the fused-kernel
+        # impl names pass through as-is
+        extra.update(impl=(resolve_impl(args.impl)
+                           if args.impl == "auto" else args.impl),
                      stage2=args.stage2 or "bf16x3",
                      time_shards=args.time_shards)
         if args.scale:
