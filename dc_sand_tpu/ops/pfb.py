@@ -163,8 +163,10 @@ def _pfb_fir_pallas(frames: jax.Array, w: jax.Array, taps: int,
     x = frames.reshape(s, n_frames, m)
     # The kernel reads frames in aligned tiles of tb starting at taps_pad,
     # overrunning the true stream by taps_pad-taps+1 frames: pad with
-    # zeros (never used in any output).  TODO(runtime): the streaming
-    # runner should allocate the pad up front to avoid this copy.
+    # zeros (never used in any output).  The pad copy only exists on
+    # this STANDALONE kernel; the production streaming path (the fused
+    # kernel's frames I/O) takes history and chunk as separate aligned
+    # refs and never concatenates or pads.
     pad = taps_pad + nb * tb - n_frames
     if pad:
         x = jnp.concatenate(
