@@ -81,15 +81,21 @@ def main() -> int:
               f"> 50 dB through the streaming runner", flush=True)
         return 0
 
-    if mode == "verify":
+    if mode.startswith("verify"):
         # the full verification harness itself, multi-process (what
-        # `cli verify --distributed` runs at pod bring-up)
+        # `cli verify --distributed` runs at pod bring-up); an optional
+        # ":config" suffix picks the preset — "verify:fx64" on a
+        # 4-process x 4-device rig is the v5e-16 CONTRACT-mesh rehearsal
+        # (BASELINE.json:5,10): 64 antennas sharded 4-per-device over 16
+        # devices, corner-turn + CMAC collectives crossing 4 process
+        # boundaries, exactly the program a pod runs over ICI/DCN
         from dc_sand_tpu.verify import verify_config, SNR_BOUND
+        cfg_name = mode.split(":", 1)[1] if ":" in mode else "fx4"
         mesh = build_mesh()
-        snrs, counters = verify_config("fx4", scale=128, mesh=mesh,
+        snrs, counters = verify_config(cfg_name, scale=128, mesh=mesh,
                                        impl="jnp")
         assert snrs["visibilities"] > SNR_BOUND, snrs
-        print(f"PASS proc {pid}/{n_proc} (verify): "
+        print(f"PASS proc {pid}/{n_proc} (verify:{cfg_name}): "
               f"{snrs['visibilities']:.1f} dB via verify_config over "
               f"{d} global devices", flush=True)
         return 0

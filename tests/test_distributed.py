@@ -26,10 +26,11 @@ def _free_port() -> int:
 
 @pytest.mark.parametrize("mode", ["fx", "sp", "runner", "beam",
                                   "verify"])
-def test_multiprocess_step(mode, n_proc=2):
+def test_multiprocess_step(mode, n_proc=2, dev_per_proc=2):
     port = _free_port()
     env = dict(os.environ,
-               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               XLA_FLAGS=("--xla_force_host_platform_device_count="
+                          f"{dev_per_proc}"),
                JAX_PLATFORMS="cpu")
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(_HERE, "_mp_fx_worker.py"),
@@ -54,3 +55,14 @@ def test_multiprocess_step(mode, n_proc=2):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i}:\n{out}"
         assert "PASS" in out, f"proc {i}:\n{out}"
+
+
+def test_podsim_contract_mesh():
+    """v5e-16 deployment rehearsal: 4 processes x 4 virtual devices = the
+    16-device contract mesh (BASELINE.json:5), running the PRODUCTION
+    config 4 (fx64: 64 antennas dual-pol, corner-turn + CMAC + dump)
+    through verify_config — the same entry `cli verify --distributed`
+    uses at pod bring-up.  Channel count is CI-scaled; the sharding
+    (4 ants/device, 8 chans/device post-corner-turn) and every
+    collective edge are the deployment's own."""
+    test_multiprocess_step("verify:fx64", n_proc=4, dev_per_proc=4)
