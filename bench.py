@@ -166,6 +166,23 @@ def main() -> None:
                 fx = cand
     except Exception:
         pass
+    # primary metric 2 (BASELINE.json:2): correlator baselines/s at 64
+    # antennas — newest recorded streaming-CMAC measurement rides along
+    xc = None
+    try:
+        recs = sorted((f for f in os.listdir(rdir)
+                       if f.startswith("xcorr_cmac_accumulate_")
+                       and _ts(f) is not None), key=_ts)
+        for name in reversed(recs):
+            with open(os.path.join(rdir, name)) as fh:
+                r = json.load(fh)
+            if r["extra"].get("n_ants") == 64 and r["extra"].get("chip"):
+                xc = {"value": r["value"], "unit": r["unit"],
+                      "int8_tops": r["extra"].get("int8_tops"),
+                      "record": name}
+                break
+    except Exception:
+        pass
     print(json.dumps({
         "metric": res.metric + " (4k chans, contract shape)",
         "value": res.value,
@@ -173,7 +190,8 @@ def main() -> None:
         "vs_baseline": res.value / REALTIME_FLOOR_PER_CHIP,
         "extra": {"gsamp_s_1k_chans": res1k.value / 1e9,
                   "bottleneck": res.extra.get("bottleneck"),
-                  "fx_step_64ant_4k_recorded": fx},
+                  "fx_step_64ant_4k_recorded": fx,
+                  "xcorr_baselines_per_s_64ant_recorded": xc},
     }))
 
 
