@@ -20,7 +20,19 @@ run() {  # run <timeout_s> <desc> <cmd...>
   timeout "$t" "$@" || echo "!!! $d failed/timed out (exit $?)"
 }
 
-# tunnel health first: bench.py exits 2 fast-ish if the relay is dead
+# tunnel health first: bench.py no longer exits nonzero on a dead
+# tunnel (it emits a stale-marked recorded fallback for the driver), so
+# probe backend init explicitly and abort the sweep if it blocks
+echo "=== tunnel probe"
+$PY - <<'EOF' || { echo "!!! TPU tunnel down — aborting sweep"; exit 3; }
+import threading, sys
+out = []
+t = threading.Thread(target=lambda: out.append(__import__("jax").devices()),
+                     daemon=True)
+t.start(); t.join(240)
+sys.exit(0 if out else 1)
+EOF
+
 run 400 "headline bench (F-engine 4k + 1k, writes records)" $PY bench.py
 
 run 1200 "verify fx64 (production cadence, record)" \
