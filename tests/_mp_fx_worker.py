@@ -94,10 +94,10 @@ def main() -> int:
         mesh = build_mesh()
         snrs, counters = verify_config(cfg_name, scale=128, mesh=mesh,
                                        impl="jnp")
-        assert snrs["visibilities"] > SNR_BOUND, snrs
-        print(f"PASS proc {pid}/{n_proc} (verify:{cfg_name}): "
-              f"{snrs['visibilities']:.1f} dB via verify_config over "
-              f"{d} global devices", flush=True)
+        assert snrs and all(v > SNR_BOUND for v in snrs.values()), snrs
+        graded = ", ".join(f"{k} {v:.1f} dB" for k, v in snrs.items())
+        print(f"PASS proc {pid}/{n_proc} (verify:{cfg_name}): {graded} "
+              f"via verify_config over {d} global devices", flush=True)
         return 0
 
     if mode == "beam":

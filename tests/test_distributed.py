@@ -57,12 +57,14 @@ def test_multiprocess_step(mode, n_proc=2, dev_per_proc=2):
         assert "PASS" in out, f"proc {i}:\n{out}"
 
 
-def test_podsim_contract_mesh():
+@pytest.mark.parametrize("config", ["fx64", "beam64"])
+def test_podsim_contract_mesh(config):
     """v5e-16 deployment rehearsal: 4 processes x 4 virtual devices = the
     16-device contract mesh (BASELINE.json:5), running the PRODUCTION
-    config 4 (fx64: 64 antennas dual-pol, corner-turn + CMAC + dump)
-    through verify_config — the same entry `cli verify --distributed`
-    uses at pod bring-up.  Channel count is CI-scaled; the sharding
-    (4 ants/device, 8 chans/device post-corner-turn) and every
-    collective edge are the deployment's own."""
-    test_multiprocess_step("verify:fx64", n_proc=4, dev_per_proc=4)
+    configs 4 and 5 (64 antennas dual-pol: corner-turn + CMAC + dump /
+    multi-beam + incoherent sum) through verify_config — the same entry
+    `cli verify --distributed` uses at pod bring-up.  Channel count is
+    CI-scaled; the sharding (4 ants/device, 8 chans/device
+    post-corner-turn, beam psum) and every collective edge are the
+    deployment's own."""
+    test_multiprocess_step(f"verify:{config}", n_proc=4, dev_per_proc=4)
