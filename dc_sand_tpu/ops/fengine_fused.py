@@ -326,7 +326,7 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
             frac_ref, phase_ref, gains_ref, out_ref, new_buf,
             hist_buf, hist_stage, z_scratch, sems, *, taps, taps_pad, tb,
             nb, m, m1, m2, groups, dif_offs, quantized, stage2, w_scale,
-            ablate, pad0=0, fir_mode="roll"):
+            ablate, pad0=0, fir_mode="roll", z_mode="scratch"):
     s = pl.program_id(0)
     b = pl.program_id(1)
     # perf-ablation flags (comma-separated, e.g. "no_fir,no_stage2"):
@@ -588,7 +588,17 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
 
     mg = m2 // groups
     for gi in range(groups):
-        # write this group's twiddled stage-1 rows into the Z scratch
+        # stage this group's twiddled stage-1 rows for the stage-2
+        # matmul.  z_mode picks how the (mg*tb, 2*m1) operand is built:
+        #   "scratch" — store each row block into the VMEM Z scratch and
+        #     feed the matmul from the ref (one full write + read of the
+        #     stacked operand per tile through VMEM);
+        #   "concat"  — jnp.concatenate the row blocks as a VALUE, so
+        #     Mosaic schedules the stage-1 outputs straight into the
+        #     matmul operand without the explicit scratch round trip
+        #     (candidate for the 4k "floor" cost — bitwise identical,
+        #     measure on chip before switching the default).
+        rows_z = []
         for j in range(mg):
             k2 = gi * mg + j
             if k2 == 0 or "no_twiddle" in ab:
@@ -596,16 +606,23 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
             else:
                 zr, zi = _cmul_rt(yy[_bitrev(k2, bits)],
                                   tw_ref[0, k2], tw_ref[1, k2])
-            z_scratch[j * tb:(j + 1) * tb, 0:m1] = \
-                zr if zr is not None else jnp.zeros((tb, m1), jnp.float32)
-            z_scratch[j * tb:(j + 1) * tb, m1:2 * m1] = \
-                zi if zi is not None else jnp.zeros((tb, m1), jnp.float32)
+            zr = zr if zr is not None else jnp.zeros((tb, m1), jnp.float32)
+            zi = zi if zi is not None else jnp.zeros((tb, m1), jnp.float32)
+            if z_mode == "concat":
+                rows_z.append(jnp.concatenate([zr, zi], axis=1))
+            else:
+                z_scratch[j * tb:(j + 1) * tb, 0:m1] = zr
+                z_scratch[j * tb:(j + 1) * tb, m1:2 * m1] = zi
+        if z_mode == "concat":
+            z_stack = (rows_z[0] if mg == 1
+                       else jnp.concatenate(rows_z, axis=0))
+        else:
+            z_stack = z_scratch[...]
 
         if "no_stage2" in ab:
-            zz = z_scratch[...]
-            cr_all, ci_all = zz[:, 0:k1n], zz[:, k1n:2 * k1n]
+            cr_all, ci_all = z_stack[:, 0:k1n], z_stack[:, k1n:2 * k1n]
         else:
-            cr_all, ci_all = stage2_mm(z_scratch[...])
+            cr_all, ci_all = stage2_mm(z_stack)
 
         for j in range(mg):
             k2 = gi * mg + j
@@ -667,6 +684,7 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
                   stage2: str = None, m1: int = None, tb: int = None,
                   groups: int = None, layout: str = "wire",
                   strict: bool = False, fir_mode: str = None,
+                  z_mode: str = None,
                   interpret: bool = False, _ablate: str = None):
     """Fused F-engine.  ``x: (..., T)`` int8; returns ``(..., B, K, 2)``
     int8 (with ``gains``) or float32 (without).
@@ -703,7 +721,7 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
                             frac_delay=frac_delay, phase=phase,
                             gains=gains, stage2=stage2, m1=m1, tb=tb,
                             groups=groups, layout=layout, strict=strict,
-                            fir_mode=fir_mode,
+                            fir_mode=fir_mode, z_mode=z_mode,
                             interpret=interpret, _ablate=_ablate)
     t_len = x.shape[-1]
     if t_len % m:
@@ -771,15 +789,15 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
         groups=groups, taps=taps, taps_pad=taps_pad, m=m, m1v=m1v,
         m2=m2, tw=tw, wm=wm, frac_delay=frac_delay, phase=phase,
         gains=gains, stage2=stage2, pad0=0, layout=layout,
-        n_chans=n_chans, fir_mode=fir_mode, interpret=interpret,
-        _ablate=_ablate)
+        n_chans=n_chans, fir_mode=fir_mode, z_mode=z_mode,
+        interpret=interpret, _ablate=_ablate)
 
 
 def _fused_split(x, history, window, taps: int, n_chans: int, *,
                  frac_delay=None, phase=None, gains=None, stage2=None,
                  m1=None, tb=None, groups=None, layout="wire",
-                 strict=False, fir_mode=None, interpret=False,
-                 _ablate=None):
+                 strict=False, fir_mode=None, z_mode=None,
+                 interpret=False, _ablate=None):
     """Split-I/O fused F-engine: chunk ``x (..., B, M)`` + carried
     history ``(..., taps_pad, M)`` as separate kernel refs (no concat,
     no input relayout — see :func:`fengine_fused` docstring)."""
@@ -825,7 +843,8 @@ def _fused_split(x, history, window, taps: int, n_chans: int, *,
             full.reshape(lead + (-1,)), window, taps, n_chans,
             frac_delay=frac_delay, phase=phase, gains=gains,
             stage2=stage2, m1=m1, layout=layout, strict=strict,
-            fir_mode=fir_mode, interpret=interpret, _ablate=_ablate)
+            fir_mode=fir_mode, z_mode=z_mode, interpret=interpret,
+            _ablate=_ablate)
     return _launch_fused(
         history.reshape(s, taps_pad, m), x.reshape(s, b_out, m), window,
         s=s, lead=lead, b_out=b_out, nb=b_out // tb, tb=tb,
@@ -833,13 +852,13 @@ def _fused_split(x, history, window, taps: int, n_chans: int, *,
         m2=m2, tw=tw, wm=wm, frac_delay=frac_delay, phase=phase,
         gains=gains, stage2=stage2, pad0=taps_pad - taps + 1,
         layout=layout, n_chans=n_chans, fir_mode=fir_mode,
-        interpret=interpret, _ablate=_ablate)
+        z_mode=z_mode, interpret=interpret, _ablate=_ablate)
 
 
 def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
                   groups, taps, taps_pad, m, m1v, m2, tw, wm,
                   frac_delay, phase, gains, stage2, pad0, layout,
-                  n_chans, fir_mode, interpret, _ablate):
+                  n_chans, fir_mode, z_mode, interpret, _ablate):
     """Shared pallas_call construction + output decode for both input
     conventions (``pad0 == 0``: ref_a = [history|stream], ref_b = tail
     tile; ``pad0 > 0``: ref_a = history frames, ref_b = chunk frames).
@@ -851,6 +870,9 @@ def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
         # same strictness as impl="fused": a typo must not silently
         # select a different engine and poison a crossover measurement
         raise ValueError(f"unknown fir_mode {fir_mode!r}")
+    if z_mode not in (None, "scratch", "concat"):
+        raise ValueError(f"unknown z_mode {z_mode!r}")
+    z_mode = z_mode or "scratch"
     k1n = m1v // 2
     assert m2 * k1n == n_chans
     # (S, nb, 1, tb): trailing block dims equal the array dims, which
@@ -899,7 +921,7 @@ def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
         _kernel, taps=taps, taps_pad=taps_pad, tb=tb, nb=nb, m=m, m1=m1v,
         m2=m2, groups=groups, dif_offs=tuple(dif_offs),
         quantized=quantized, stage2=stage2, w_scale=w_scale,
-        ablate=_ablate, pad0=pad0,
+        ablate=_ablate, pad0=pad0, z_mode=z_mode,
         # measured crossover (v5e, 16x512): the shifted-identity dots
         # pay whenever their (rows, rows) M-dim stays MXU-friendly —
         # rows=80: mxu 19.5 vs roll 14.8 at 4k, 17.2 vs 16.4 at 1k;
@@ -939,7 +961,11 @@ def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
             pltpu.VMEM((2, tb, m), ref_b.dtype),
             pltpu.VMEM((taps_pad, m), jnp.float32),
             pltpu.VMEM((taps_pad, m), ref_b.dtype),
-            pltpu.VMEM(((m2 // groups) * tb, 2 * m1v), jnp.float32),
+            # concat mode never touches the Z scratch — keep a minimal
+            # allocation so the freed VMEM benefits the tiling
+            pltpu.VMEM(((8 if z_mode == "concat"
+                         else (m2 // groups) * tb), 2 * m1v),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,

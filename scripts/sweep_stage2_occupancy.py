@@ -48,7 +48,7 @@ def require_tunnel(timeout_s: float = 240.0):
 
 
 def bench_variant(n_streams, n_spectra, *, tb, groups, fir_mode,
-                  iters, layout="wire"):
+                  iters, layout="wire", z_mode="scratch"):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -74,7 +74,8 @@ def bench_variant(n_streams, n_spectra, *, tb, groups, fir_mode,
     def step(xx, fd_, ph_, g_):
         return fengine_fused(xx, w, TAPS, N_CHANS, frac_delay=fd_,
                              phase=ph_, gains=g_, tb=tb, groups=groups,
-                             fir_mode=fir_mode, layout=layout)
+                             fir_mode=fir_mode, layout=layout,
+                             z_mode=z_mode)
 
     wall = time_throughput(step, (x, fd, ph, gains), iters=iters)
     samples = n_streams * n_spectra * m
@@ -99,36 +100,47 @@ def main():
     require_tunnel()
     full = "--full" in sys.argv
 
-    # probe shape: candidate ratios (compiles ~1 min each)
+    # probe shape: candidate ratios (compiles ~1 min each).
+    # (groups, z_mode) axes: groups=1 doubles the stage-2 matmul M-dim
+    # (occupancy); z_mode="concat" drops the VMEM Z-scratch round trip
+    # (floor); both bitwise-identical to the default (interpret-tested).
     print("== probe shape 4x256 (ratios)")
+    cands = (
+        (64, 2, "scratch"),   # current default
+        (64, 1, "scratch"),
+        (64, 4, "scratch"),
+        (64, 2, "concat"),
+        (64, 1, "concat"),
+    )
     probe = {}
-    for tb, groups in ((64, 2), (64, 1), (64, 4)):
+    for tb, groups, zm in cands:
         try:
-            probe[(tb, groups)] = bench_variant(
-                4, 256, tb=tb, groups=groups, fir_mode="mxu", iters=128)
+            probe[(tb, groups, zm)] = bench_variant(
+                4, 256, tb=tb, groups=groups, fir_mode="mxu",
+                z_mode=zm, iters=128)
         except Exception as e:
-            print(f"  tb={tb} groups={groups}: FAILED "
+            print(f"  tb={tb} groups={groups} z={zm}: FAILED "
                   f"{type(e).__name__}: {e}")
     if not probe:
         raise SystemExit(1)
-    base = probe.get((64, 2))
+    base = probe.get((64, 2, "scratch"))
     best = max(probe, key=probe.get)
-    print(f"probe winner: tb={best[0]} groups={best[1]}"
+    print(f"probe winner: tb={best[0]} groups={best[1]} z={best[2]}"
           + (f" ({probe[best]/base - 1:+.1%} vs default)" if base else ""))
 
     if not full:
         return
     # contract shape: default + any >3% probe winner
     print("== contract shape 16x512")
-    run = {(64, 2)}
+    run = {(64, 2, "scratch")}
     if base and probe[best] > 1.03 * base:
         run.add(best)
-    for tb, groups in sorted(run):
+    for tb, groups, zm in sorted(run):
         try:
             bench_variant(16, 512, tb=tb, groups=groups, fir_mode="mxu",
-                          iters=192)
+                          z_mode=zm, iters=192)
         except Exception as e:
-            print(f"  tb={tb} groups={groups}: FAILED "
+            print(f"  tb={tb} groups={groups} z={zm}: FAILED "
                   f"{type(e).__name__}: {e}")
 
 

@@ -262,6 +262,24 @@ class TestFusedFEngine:
         np.testing.assert_array_equal(np.asarray(outs[0]),
                                       np.asarray(outs[1]))
 
+    def test_z_modes_bitwise(self):
+        """z_mode="concat" (stage-2 operand built as a concatenated
+        VALUE, no VMEM Z-scratch round trip — the 4k "floor" candidate)
+        is bitwise the scratch path: same rows, same matmul, only the
+        staging differs."""
+        from dc_sand_tpu.ops.fengine_fused import fengine_fused
+        taps, nch, B = 16, 512, 32
+        m, x, w, fd, ph, g = self._data(taps, nch, B, seed=23)
+        outs = [fengine_fused(jnp.asarray(x), w, taps, nch,
+                              frac_delay=jnp.asarray(fd),
+                              phase=jnp.asarray(ph),
+                              gains=jnp.asarray(np_c2ri(g)),
+                              stage2="fp32", z_mode=mode,
+                              groups=2, interpret=True)
+                for mode in ("scratch", "concat")]
+        np.testing.assert_array_equal(np.asarray(outs[0]),
+                                      np.asarray(outs[1]))
+
     def test_bare_matches_golden(self):
         from dc_sand_tpu.ops.fengine_fused import fengine_fused
         taps, nch, B = 16, 512, 16
