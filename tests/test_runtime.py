@@ -498,3 +498,61 @@ class TestHeadroom:
                                                jnp2.int8)))
         expect = 2 * 127 * 127 * b
         assert v.max() == expect and abs(int(v.min())) <= expect
+
+
+class TestRunnerFuzz:
+    """Property fuzz over the runner's drop/dump/cadence state machine:
+    arbitrary drop sets x window lengths x coarse delays must keep the
+    integration bookkeeping exact and the visibilities equal to the
+    golden chain run on the same zero-filled stream (a dropped chunk is
+    zeros, but its FIR history still smears the previous chunk's
+    samples into the window — the oracle sees exactly that)."""
+
+    def test_drop_cadence_fuzz(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=12, deadline=None)
+        @given(
+            g=st.integers(1, 3),            # chunks per dump window
+            n_dumps=st.integers(1, 2),
+            extra=st.integers(0, 2),        # trailing partial window
+            drops=st.sets(st.integers(0, 7), max_size=4),
+            seed=st.integers(0, 2**16),
+        )
+        def case(g, n_dumps, extra, drops, seed):
+            n_chunks = g * n_dumps + min(extra, g - 1)
+            drops = {d for d in drops if d < n_chunks}
+            cfg = _cfg(n_spectra_per_acc=g * B_CHUNK)
+            rng = np.random.default_rng(seed)
+            dm = DelayModel.zeros(cfg.n_ants, cfg.n_pols, max_delay=8)
+            dm.d0 = rng.integers(0, 8,
+                                 (cfg.n_ants, cfg.n_pols)).astype(float)
+            stream = _make_stream(cfg, n_chunks, seed=seed)
+            w = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
+            runner = FXRunner(cfg, w, delay_model=dm, impl="jnp")
+            dumps, counters = runner.run(_source(stream, cfg), n_chunks,
+                                         drop_chunks=drops)
+            assert counters.chunks_dropped == len(drops)
+            assert counters.chunks_in == n_chunks
+            assert len(dumps) == n_dumps
+            # golden on the SAME zero-filled stream
+            faulted = stream.copy()
+            c = cfg.chunk_samples
+            for d in drops:
+                faulted[..., d * c:(d + 1) * c] = 0
+            gains = np.full(cfg.n_chans, cfg.quant_scale) + 0j
+            spec_g = _golden_chain(cfg, faulted, dm, gains, n_chunks)
+            bpa = cfg.n_spectra_per_acc
+            for di, dump in enumerate(dumps):
+                lost = sum(1 for d in drops if di * g <= d < (di + 1) * g)
+                assert dump.first_chunk == di * g
+                assert dump.n_spectra_nominal == bpa
+                assert dump.n_spectra == B_CHUNK * (g - lost)
+                vis_g = golden.xcorr(spec_g[:, :, di * bpa:(di + 1) * bpa])
+                vis = np_ri2c(dump.vis)
+                if np.abs(vis_g).max() > 1e-6:
+                    assert snr_db(vis_g, vis) > 50
+                else:   # fully-dark window: exact zeros, not noise
+                    assert np.abs(vis).max() == 0
+
+        case()
