@@ -165,10 +165,12 @@ def _run_bench(args) -> int:
                                      stage2=args.stage2))
     elif args.target == "fx":
         from dc_sand_tpu.bench.pipelines import bench_fx_step
-        results.append(bench_fx_step(n_chans=args.scale or 1024))
+        kw = {"n_spectra": args.spectra} if args.spectra else {}
+        results.append(bench_fx_step(n_chans=args.scale or 1024, **kw))
     elif args.target == "beam-step":
         from dc_sand_tpu.bench.pipelines import bench_beam_step
-        results.append(bench_beam_step(n_chans=args.scale or 4096))
+        kw = {"n_spectra": args.spectra} if args.spectra else {}
+        results.append(bench_beam_step(n_chans=args.scale or 4096, **kw))
     elif args.target == "xcorr":
         from dc_sand_tpu.bench.kernels import bench_xcorr
         results.append(bench_xcorr(n_chans=args.scale or 4096))
@@ -281,6 +283,10 @@ def main(argv=None) -> int:
                              "membench", "scaling", "ingest"])
     pb.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler (xprof/perfetto) trace")
+    pb.add_argument("--spectra", type=int, default=None,
+                    help="spectra per chunk for the step benches "
+                         "(fx/beam-step; bigger chunks amortise the "
+                         "accumulator HBM traffic)")
     _add_common(pb)
     pb.set_defaults(fn=cmd_bench)
 

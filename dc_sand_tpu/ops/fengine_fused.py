@@ -120,7 +120,17 @@ _P = jax.lax.Precision.HIGHEST
 # at both contract shapes (v5e 16x512: 1k tb64+mxu 17.1 vs tb128+roll
 # 16.9 vs tb128+mxu 15.1; 4k tb64 19.5 vs tb128 16.9 Gsamp/s).
 _TB_CANDIDATES = (64, 128, 32, 16, 8)
-_GROUP_CANDIDATES = (1, 2, 4)
+# Group preference is measured, not modelled (v5e 16x512 contract-shape
+# sweeps, bench/results/fengine_tile_sweep_8424e8f_*).  All three
+# ratios fit the VMEM model at both contract shapes, so the order IS
+# the policy: at 1k chans (m=2048) the un-grouped Z pass wins clearly
+# (g=1 17.35 vs g=4 15.74 Gsamp/s wire); at 4k (m=8192) the quartered
+# Z scratch edges it on both layouts (wire g=4 19.71 vs g=1 19.47 vs
+# g=2 18.81; native 16.93 / 16.92 / 16.74) — more, smaller stage-2
+# matmuls pipeline slightly better once the tile is 4x taller.  The
+# halfway g=2 split loses everywhere measured.
+_GROUP_CANDIDATES = (1, 4, 2)            # m <= 4096 (and fallback)
+_GROUP_CANDIDATES_BIG_M = (4, 1, 2)      # m >= 8192
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 # stage-2 DFT matmul mode (see module docstring).  bf16x3 measures
@@ -666,10 +676,11 @@ def _choose_tiling(m: int, m2: int, b_out: int, taps_pad: int):
     model capped m=8192 at tb=32; the grouped Z scratch is what buys
     tb=64 there.
     """
+    order = _GROUP_CANDIDATES_BIG_M if m >= 8192 else _GROUP_CANDIDATES
     for tb in _TB_CANDIDATES:
         if tb < taps_pad or b_out % tb:
             continue
-        for g in _GROUP_CANDIDATES:
+        for g in order:
             if m2 % g:
                 continue
             est = m * (14 * tb + 8 * tb // g + 6 * taps_pad)

@@ -87,10 +87,12 @@ def bench_variant(n_streams, n_spectra, *, tb, groups, fir_mode,
         extra={"n_streams": n_streams, "n_spectra": n_spectra,
                "n_chans": N_CHANS, "taps": TAPS, "tb": tb,
                "groups": groups, "fir_mode": fir_mode, "layout": layout,
+               "z_mode": z_mode,
                "vs_realtime_floor": rate / REALTIME_FLOOR_PER_CHIP},
     ).finish()
     res.save(RESULTS)
-    print(f"  tb={tb} groups={groups} fir={fir_mode} layout={layout}: "
+    print(f"  tb={tb} groups={groups} z={z_mode} fir={fir_mode} "
+          f"layout={layout}: "
           f"{rate/1e9:.2f} Gsamp/s "
           f"({rate/REALTIME_FLOOR_PER_CHIP:.2f}x floor)")
     return rate
@@ -106,7 +108,11 @@ def main():
     # (floor); both bitwise-identical to the default (interpret-tested).
     print("== probe shape 4x256 (ratios)")
     cands = (
-        (64, 2, "scratch"),   # current default
+        # NOTE (post-run correction): (64, 2) was mislabelled "current
+        # default" when this sweep was written — the auto policy's VMEM
+        # model admits groups=1 at m=8192, so the default was (64, 1).
+        # sweep_groups_shapes.py added the same-harness g=1 legs.
+        (64, 2, "scratch"),
         (64, 1, "scratch"),
         (64, 4, "scratch"),
         (64, 2, "concat"),
