@@ -36,6 +36,9 @@ def _add_common(p):
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() and "
                         "mesh over all global devices")
+    p.add_argument("--beam-parallel", action="store_true",
+                   help="EP: shard beams over the mesh (psum_scatter "
+                        "reduction; each chip keeps its beam subset)")
 
 
 def cmd_verify(args) -> int:
@@ -53,7 +56,8 @@ def cmd_verify(args) -> int:
                   baseline_subset=128)
     snrs, counters = verify_config(
         args.config, scale=args.scale, mesh=mesh, impl=args.impl,
-        time_shards=args.time_shards, stage2=args.stage2, **kw)
+        time_shards=args.time_shards, stage2=args.stage2,
+        beam_parallel=args.beam_parallel, **kw)
     ok = all(v > SNR_BOUND for v in snrs.values())
     for stage, v in snrs.items():
         mark = "PASS" if v > SNR_BOUND else "FAIL"
@@ -106,6 +110,8 @@ def cmd_run(args) -> int:
         cfg = cfg.replace(stage2=args.stage2)
     if args.time_shards > 1:
         cfg = cfg.replace(time_shards=args.time_shards)
+    if args.beam_parallel:
+        cfg = cfg.replace(beam_parallel=True)
     mesh = None
     if args.mesh or args.time_shards > 1:
         from dc_sand_tpu.parallel import build_mesh

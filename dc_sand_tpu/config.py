@@ -108,6 +108,16 @@ class ChainConfig:
     # First-class for the F-engine modes; FX/beam shard antennas/channels
     # on the fx axis instead (SURVEY.md §2.3 parallelism table).
     time_shards: int = 1
+    # Beam-parallel B-engine (the EP analog, SURVEY.md §2.3 parallelism
+    # table): instead of psum-replicating every beam on every chip, the
+    # partial-beam reduction over antenna shards runs as a
+    # ``psum_scatter`` over the beam axis, so each chip keeps a
+    # fully-reduced 1/N beam subset — half the ICI traffic of the
+    # all-reduce and the downstream Stokes/requant work sharded N ways.
+    # Needs n_beams divisible by the fx-axis size.  ``None`` (= off)
+    # rather than False so enabling the knob's *existence* does not
+    # invalidate existing config hashes (config_hash drops None fields).
+    beam_parallel: bool = None
 
     # ------------------------------------------------------------------
     @property

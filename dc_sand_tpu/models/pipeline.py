@@ -193,6 +193,19 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
     if cfg.beam_stokes and (mode != "beam" or cfg.n_pols != 2):
         raise ValueError("beam_stokes needs dual-pol beams "
                          f"(mode={mode}, n_pols={cfg.n_pols})")
+    beam_parallel = bool(cfg.beam_parallel) and mesh is not None
+    if cfg.beam_parallel:
+        if mode != "beam":
+            raise ValueError("beam_parallel needs beam mode "
+                             f"(n_beams > 0, got mode={mode})")
+        if cfg.time_shards > 1:
+            raise ValueError("beam_parallel shards beams on the fx "
+                             "axis; combine with time_shards is not "
+                             "supported")
+        if mesh is not None and cfg.n_beams % mesh.shape[FX_AXIS]:
+            raise ValueError(
+                f"beam_parallel needs n_beams ({cfg.n_beams}) divisible "
+                f"by the fx-axis size ({mesh.shape[FX_AXIS]})")
 
     if cfg.time_shards > 1:
         if max_delay:
@@ -292,7 +305,15 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
             else:
                 coh = ops.beamform(q, weights)
             if mesh is not None:
-                coh = jax.lax.psum(coh, FX_AXIS)
+                if beam_parallel:
+                    # EP: reduce-scatter the partial beams over the beam
+                    # axis — each device ends with its 1/N beam subset
+                    # fully reduced; Stokes/requant below then run on
+                    # the local shard only (SURVEY.md §2.3, EP row)
+                    coh = jax.lax.psum_scatter(
+                        coh, FX_AXIS, scatter_dimension=0, tiled=True)
+                else:
+                    coh = jax.lax.psum(coh, FX_AXIS)
             if cfg.beam_stokes:
                 # detection runs on the FLOAT beam voltages (before any
                 # int8 beam quantisation); XLA fuses the elementwise
@@ -319,11 +340,14 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
         # fx mode carries the (k, 2ap, 2ap) block accumulator sharded on
         # channels (axis 0); other modes carry a rank-1 dummy
         vis_spec = P(FX_AXIS) if mode == "fx" else P(None)
-        beam_out = {"beams": P()}
+        # EP mode leaves beams (and the per-beam Stokes products)
+        # sharded over the beam axis; the all-reduce mode replicates
+        bspec = P(FX_AXIS) if beam_parallel else P()
+        beam_out = {"beams": bspec}
         if cfg.beam_stokes:
-            beam_out["stokes"] = P()   # computed post-psum: replicated
+            beam_out["stokes"] = bspec  # computed post-reduction
         if cfg.incoherent_beam:
-            beam_out["incoherent"] = P()
+            beam_out["incoherent"] = P()   # no beam axis: replicated
         out_specs = {"fengine": (a, vis_spec, {"spectra": a}),
                      "fx": (a, vis_spec, {}),
                      "beam": (a, vis_spec, beam_out)}[mode]

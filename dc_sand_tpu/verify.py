@@ -74,7 +74,8 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
                   n_spectra_per_acc: Optional[int] = 32,
                   time_shards: int = 1,
                   stage2: Optional[str] = None,
-                  baseline_subset: Optional[int] = None):
+                  baseline_subset: Optional[int] = None,
+                  beam_parallel: bool = False):
     """Run config ``name`` end-to-end; returns ``(snrs, counters)`` —
     per-output SNRs (dB) vs golden plus the runner's counters.
 
@@ -106,6 +107,9 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
         cfg = cfg.replace(time_shards=time_shards,
                           spectra_per_chunk=max(cfg.spectra_per_chunk,
                                                 time_shards * cfg.n_taps))
+    if beam_parallel:
+        # EP mode (beam-sharded B-engine, psum_scatter reduction)
+        cfg = cfg.replace(beam_parallel=True)
     if cfg.run_xengine and cfg.n_spectra_per_acc % cfg.spectra_per_chunk:
         # the runner dumps at chunk-aligned boundaries (>=), while the
         # golden oracle below slices exact n_spectra_per_acc windows —

@@ -437,3 +437,63 @@ class TestShardedBeamStep:
         assert snr_db(inc_g, np.asarray(outputs["incoherent"])) > 50
         stokes_g = golden.stokes(beams_g)
         assert snr_db(stokes_g, np.asarray(outputs["stokes"])) > 50
+
+    def test_beam_parallel_ep_mode_matches_replicated(self):
+        """EP mode (cfg.beam_parallel: psum_scatter over the beam axis)
+        == the psum-replicated beam step, and each device's addressable
+        shard holds exactly its n_beams/N beam subset."""
+        from dc_sand_tpu.config import ChainConfig
+        from dc_sand_tpu.models.pipeline import make_step, history_len
+        d = 4
+        mesh = build_mesh(n_devices=d)
+        base = ChainConfig(name="t", n_ants=8, n_pols=2, n_chans=N_CHANS,
+                           n_taps=TAPS, spectra_per_chunk=8, n_beams=4,
+                           apply_delay=True, apply_requant=True,
+                           incoherent_beam=True, beam_stokes=True)
+        rng = np.random.default_rng(52)
+        wts = rng.normal(size=(4, 8, N_CHANS, 2)).astype(np.float32)
+        stream = _noise_int8((8, 2, base.chunk_samples), seed=53)
+        gains = np.zeros((N_CHANS, 2), np.float32)
+        gains[:, 0] = 0.05
+        hist = jnp.zeros((8, 2, history_len(base, 0)), jnp.int8)
+        args = (hist, jnp.zeros((1,), jnp.int32), jnp.asarray(stream),
+                jnp.zeros((8, 2), jnp.int32),
+                jnp.zeros((8, 2, 8), jnp.float32),
+                jnp.zeros((8, 2, 8), jnp.float32),
+                jnp.asarray(gains), jnp.asarray(wts), jnp.asarray(True))
+        outs = {}
+        for ep in (False, True):
+            cfg = base.replace(beam_parallel=True) if ep else base
+            step = make_step(cfg, pfb_window(TAPS, M), max_delay=0,
+                             mesh=mesh, impl="jnp", donate=False,
+                             coarse_on_host=True)
+            _, _, outs[ep] = step(*args)
+        # the EP output is globally identical (psum and psum_scatter
+        # reduce in the same ring order on this backend) ...
+        for key in ("beams", "stokes", "incoherent"):
+            np.testing.assert_allclose(np.asarray(outs[True][key]),
+                                       np.asarray(outs[False][key]),
+                                       rtol=1e-6, atol=1e-4)
+        # ... but beam-sharded: every device holds 1/d of the beam axis
+        shards = outs[True]["beams"].addressable_shards
+        assert len(shards) == d
+        nb = base.n_beams
+        for s in shards:
+            assert s.data.shape[0] == nb // d
+        # the replicated mode keeps whole-beam-axis copies
+        rep = outs[False]["beams"].addressable_shards
+        assert all(s.data.shape[0] == nb for s in rep)
+
+    def test_beam_parallel_validation(self):
+        from dc_sand_tpu.config import ChainConfig
+        from dc_sand_tpu.models.pipeline import make_step
+        import pytest
+        mesh = build_mesh(n_devices=4)
+        cfg = ChainConfig(name="t", n_ants=8, n_pols=2, n_chans=N_CHANS,
+                          n_taps=TAPS, spectra_per_chunk=8, n_beams=3,
+                          beam_parallel=True)
+        with pytest.raises(ValueError, match="divisible"):
+            make_step(cfg, pfb_window(TAPS, M), mesh=mesh, impl="jnp")
+        with pytest.raises(ValueError, match="beam mode"):
+            make_step(cfg.replace(n_beams=0, beam_parallel=True),
+                      pfb_window(TAPS, M), mesh=mesh, impl="jnp")
