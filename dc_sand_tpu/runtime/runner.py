@@ -238,7 +238,14 @@ class FXRunner:
             self.history, self.vis_acc, outputs = self._step(
                 self.history, self.vis_acc, *args)
             if on_output is not None and outputs:
-                on_output(i, {k: np.asarray(v) for k, v in outputs.items()})
+                # beam-sharded (EP) outputs span devices of OTHER
+                # processes under multi-host SPMD — each host consumes
+                # its own addressable beam shards, so those pass
+                # through as jax Arrays instead of forcing a (crashing)
+                # global materialisation
+                on_output(i, {k: (np.asarray(v) if v.is_fully_addressable
+                                  else v)
+                              for k, v in outputs.items()})
             if self.mode == "fx":
                 self._acc_spectra += b
                 if not dropped:

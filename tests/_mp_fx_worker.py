@@ -143,6 +143,57 @@ def main() -> int:
               flush=True)
         return 0
 
+    if mode == "beam_ep":
+        # EP across processes: the partial-beam reduce-scatter
+        # (psum_scatter over the beam axis) crosses the process
+        # boundary, and each process ends holding ONLY its beam
+        # subset — verified per addressable shard vs golden
+        from dc_sand_tpu.config import ChainConfig
+        from dc_sand_tpu.runtime import FXRunner
+        from dc_sand_tpu.utils import snr_db, np_ri2c
+        cfg = ChainConfig(name="mpep", n_ants=8, n_pols=2, n_chans=128,
+                          n_taps=4, spectra_per_chunk=8, n_beams=4,
+                          apply_delay=False, apply_requant=True,
+                          incoherent_beam=True, beam_stokes=True,
+                          beam_parallel=True)
+        rng2 = np.random.default_rng(43)
+        wts = rng2.normal(size=(4, 8, 128, 2)).astype(np.float32)
+        n_chunks = 2
+        x = golden.quantize_adc(golden.gaussian_noise(
+            (8, 2, n_chunks * cfg.chunk_samples), 20.0, 44))
+        a0, a1 = local_antenna_range(cfg.n_ants)
+        mesh = build_mesh()
+        outs = []
+        r = FXRunner(cfg, pfb_window(cfg.n_taps, cfg.fft_size),
+                     weights=wts, mesh=mesh, impl="jnp")
+        r.run(lambda i: x[a0:a1, :, i * cfg.chunk_samples:
+                          (i + 1) * cfg.chunk_samples],
+              n_chunks, on_output=lambda i, o: outs.append(o))
+        lead = np.zeros((8, 2, (cfg.n_taps - 1) * cfg.fft_size))
+        spec_g = golden.f_engine(
+            np.concatenate([lead, x], -1),
+            pfb_window(cfg.n_taps, cfg.fft_size), cfg.n_taps,
+            cfg.n_chans, gains=np.full(cfg.n_chans,
+                                       cfg.quant_scale) + 0j)
+        b = cfg.spectra_per_chunk
+        wg = wts[..., 0] + 1j * wts[..., 1]
+        beams_g = golden.beamform(spec_g[:, :, b:], wg)
+        stokes_g = golden.stokes(beams_g)
+        shards = outs[1]["beams"].addressable_shards
+        assert shards, "no addressable beam shards on this process"
+        for s in shards:
+            bsl = s.index[0]           # this shard's beam-axis slice
+            assert s.data.shape[0] == cfg.n_beams // d
+            snr = snr_db(beams_g[bsl], np_ri2c(np.asarray(s.data)))
+            assert snr > 50, f"beam shard {bsl}: {snr:.1f} dB"
+        for s in outs[1]["stokes"].addressable_shards:
+            snr_s = snr_db(stokes_g[s.index[0]], np.asarray(s.data))
+            assert snr_s > 50, f"stokes shard: {snr_s:.1f} dB"
+        print(f"PASS proc {pid}/{n_proc} (beam_ep): local beam shards "
+              f"verified vs golden via cross-process psum_scatter",
+              flush=True)
+        return 0
+
     if mode == "sp":
         # time-sharded F-engine: the overlap-save halo rides a ppermute
         # whose middle edge crosses the PROCESS boundary
