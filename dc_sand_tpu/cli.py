@@ -180,6 +180,13 @@ def _run_bench(args) -> int:
     elif args.target == "xcorr":
         from dc_sand_tpu.bench.kernels import bench_xcorr
         results.append(bench_xcorr(n_chans=args.scale or 4096))
+        # the production fx step dispatches 512-spectra chunks into the
+        # native-layout kernel — record both at that cadence too (the
+        # accumulator read+write amortises over 2x the spectra)
+        results.append(bench_xcorr(n_chans=args.scale or 4096,
+                                   n_spectra=512))
+        results.append(bench_xcorr(n_chans=args.scale or 4096,
+                                   n_spectra=512, mode="native"))
     elif args.target == "beamform":
         from dc_sand_tpu.bench.kernels import bench_beamform
         for layout in ("native", "wire"):

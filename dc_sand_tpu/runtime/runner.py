@@ -213,7 +213,10 @@ class FXRunner:
         """Process ``n_chunks``; returns (dumps, counters).
 
         ``source(chunk_idx)`` -> int8 ``(A, P, chunk_samples)``.
-        ``on_output`` receives per-chunk outputs (spectra / beams).
+        ``on_output`` receives per-chunk outputs (spectra / beams) as
+        numpy arrays — except outputs left sharded across OTHER hosts
+        (EP beam shards under multi-host SPMD), which arrive as jax
+        Arrays whose ``addressable_shards`` are this host's subset.
         ``drop_chunks``: chunk indices to fault-inject as zeros.
         """
         cfg = self.cfg
