@@ -167,11 +167,15 @@ def main() -> None:
     except Exception:
         pass
     # primary metric 2 (BASELINE.json:2): correlator baselines/s at 64
-    # antennas — newest recorded streaming-CMAC measurement rides along
+    # antennas — newest recorded streaming-CMAC measurement rides along.
+    # Both streaming modes qualify: "accumulate" (the generic in-place
+    # block-CMAC) and "native" (the fused relayout+CMAC kernel the
+    # production fx step actually dispatches).
     xc = None
     try:
         recs = sorted((f for f in os.listdir(rdir)
-                       if f.startswith("xcorr_cmac_accumulate_")
+                       if (f.startswith("xcorr_cmac_accumulate_")
+                           or f.startswith("xcorr_cmac_native_"))
                        and _ts(f) is not None), key=_ts)
         for name in reversed(recs):
             with open(os.path.join(rdir, name)) as fh:
@@ -179,6 +183,8 @@ def main() -> None:
             if r["extra"].get("n_ants") == 64 and r["extra"].get("chip"):
                 xc = {"value": r["value"], "unit": r["unit"],
                       "int8_tops": r["extra"].get("int8_tops"),
+                      "mode": r["extra"].get("mode"),
+                      "n_spectra": r["extra"].get("n_spectra"),
                       "record": name}
                 break
     except Exception:

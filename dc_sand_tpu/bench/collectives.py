@@ -3,8 +3,9 @@
 The TPU-native mirror of the reference's NVLink/PCIe/GPUDirect bandwidth
 experiments (SURVEY.md §2.1 "Transport experiments"): measure what the
 interconnect actually delivers for the collectives the pipeline uses —
-``all_to_all`` (corner-turn), ``ppermute`` (halo exchange), ``psum``
-(beam reduction) — per message size, per mesh.
+``all_to_all`` (corner-turn), ``ppermute`` (halo exchange), ``psum`` /
+``psum_scatter`` (replicated / EP beam reduction) — per message size,
+per mesh.
 
 On a multi-chip slice these numbers are the corner-turn capacity check
 (derived need: ~13.7 GB/s/chip at the contract point, BASELINE.md); on a
@@ -33,8 +34,8 @@ __all__ = ["bench_collective", "COLLECTIVES"]
 # planned pod-bring-up comparison (SURVEY.md:127,134,161).  They need a
 # single-axis mesh in interpreter mode (CPU); on hardware they ride the
 # same mesh as the XLA forms.
-COLLECTIVES = ("all_to_all", "ppermute", "psum", "all_gather",
-               "all_to_all_pallas", "ppermute_pallas")
+COLLECTIVES = ("all_to_all", "ppermute", "psum", "psum_scatter",
+               "all_gather", "all_to_all_pallas", "ppermute_pallas")
 
 
 def bench_collective(op: str, mesh, *, mb_per_chip: float = 16.0,
@@ -82,6 +83,12 @@ def bench_collective(op: str, mesh, *, mb_per_chip: float = 16.0,
         def fn(x):
             return jax.lax.psum(x, FX_AXIS)
         wire = local_bytes * 2 * (d - 1) / d  # reduce-scatter + all-gather
+    elif op == "psum_scatter":
+        # the EP beam reduction (cfg.beam_parallel): half a psum's wire
+        def fn(x):
+            return jax.lax.psum_scatter(x, FX_AXIS, scatter_dimension=0,
+                                        tiled=True)
+        wire = local_bytes * (d - 1) / d
     elif op == "all_gather":
         def fn(x):
             return jax.lax.all_gather(x, FX_AXIS, tiled=True)
@@ -91,7 +98,7 @@ def bench_collective(op: str, mesh, *, mb_per_chip: float = 16.0,
                          f"available: {COLLECTIVES}")
 
     sharded = _shard_map(fn, mesh=mesh, in_specs=P(FX_AXIS),
-                         out_specs=P(FX_AXIS) if op != "psum" else P(),
+                         out_specs=P() if op == "psum" else P(FX_AXIS),
                          check_vma=False)
     with jax.default_device(mesh.devices.flat[0]):
         x = jnp.zeros((n_rows * d, 1024), jnp.float32)
