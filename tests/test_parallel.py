@@ -497,3 +497,22 @@ class TestShardedBeamStep:
         with pytest.raises(ValueError, match="beam mode"):
             make_step(cfg.replace(n_beams=0, beam_parallel=True),
                       pfb_window(TAPS, M), mesh=mesh, impl="jnp")
+
+
+class TestCollectivesBench:
+    def test_every_collective_runs_on_the_cpu_mesh(self):
+        """The C15 microbench suite itself: every op in COLLECTIVES
+        (incl. the EP psum_scatter and the Pallas remote-DMA variants)
+        builds, runs over the 8-device mesh, and reports positive
+        bandwidth with sane wire-bytes accounting."""
+        from dc_sand_tpu.bench.collectives import (bench_collective,
+                                                   COLLECTIVES)
+        mesh = build_mesh(n_devices=8)
+        for op in COLLECTIVES:
+            r = bench_collective(op, mesh, mb_per_chip=0.25, iters=2)
+            assert r.value > 0, op
+            assert r.bytes_moved > 0, op
+            assert r.extra["devices"] == 8
+        import pytest
+        with pytest.raises(ValueError, match="unknown collective"):
+            bench_collective("nope", mesh)
