@@ -167,28 +167,42 @@ def main() -> None:
     except Exception:
         pass
     # primary metric 2 (BASELINE.json:2): correlator baselines/s at 64
-    # antennas — newest recorded streaming-CMAC measurement rides along.
-    # Both streaming modes qualify: "accumulate" (the generic in-place
-    # block-CMAC) and "native" (the fused relayout+CMAC kernel the
-    # production fx step actually dispatches).
+    # antennas — measured LIVE on the kernel the production fx step
+    # actually dispatches (xcorr_accumulate_native at the 512-spectra
+    # production cadence).  A regression at HEAD therefore shows up in
+    # BENCH_rN directly (VERDICT r2 missing #6); the recorded-number
+    # path survives only as an explicitly-tagged fallback, and the
+    # measurement basis (mode + n_spectra) is always stamped so two
+    # BENCH rounds can't silently compare different kernels (ADVICE r2).
     xc = None
     try:
-        recs = sorted((f for f in os.listdir(rdir)
-                       if (f.startswith("xcorr_cmac_accumulate_")
-                           or f.startswith("xcorr_cmac_native_"))
-                       and _ts(f) is not None), key=_ts)
-        for name in reversed(recs):
-            with open(os.path.join(rdir, name)) as fh:
-                r = json.load(fh)
-            if r["extra"].get("n_ants") == 64 and r["extra"].get("chip"):
-                xc = {"value": r["value"], "unit": r["unit"],
-                      "int8_tops": r["extra"].get("int8_tops"),
-                      "mode": r["extra"].get("mode"),
-                      "n_spectra": r["extra"].get("n_spectra"),
-                      "record": name}
-                break
-    except Exception:
-        pass
+        from dc_sand_tpu.bench.kernels import bench_xcorr
+        xr = bench_xcorr(mode="native", n_spectra=512, iters=32)
+        xr.save(rdir)
+        xc = {"value": xr.value, "unit": xr.unit,
+              "int8_tops": xr.extra.get("int8_tops"),
+              "mode": "native", "n_spectra": 512, "live": True}
+    except Exception as e:
+        print(f"bench.py: live xcorr bench failed ({type(e).__name__}: "
+              f"{e}); falling back to newest record", file=sys.stderr)
+        try:
+            recs = sorted((f for f in os.listdir(rdir)
+                           if (f.startswith("xcorr_cmac_accumulate_")
+                               or f.startswith("xcorr_cmac_native_"))
+                           and _ts(f) is not None), key=_ts)
+            for name in reversed(recs):
+                with open(os.path.join(rdir, name)) as fh:
+                    r = json.load(fh)
+                if (r["extra"].get("n_ants") == 64
+                        and r["extra"].get("chip")):
+                    xc = {"value": r["value"], "unit": r["unit"],
+                          "int8_tops": r["extra"].get("int8_tops"),
+                          "mode": r["extra"].get("mode"),
+                          "n_spectra": r["extra"].get("n_spectra"),
+                          "live": False, "record": name}
+                    break
+        except Exception:
+            pass
     print(json.dumps({
         "metric": res.metric + " (4k chans, contract shape)",
         "value": res.value,
@@ -197,7 +211,7 @@ def main() -> None:
         "extra": {"gsamp_s_1k_chans": res1k.value / 1e9,
                   "bottleneck": res.extra.get("bottleneck"),
                   "fx_step_64ant_4k_recorded": fx,
-                  "xcorr_baselines_per_s_64ant_recorded": xc},
+                  "xcorr_baselines_per_s_64ant": xc},
     }))
 
 

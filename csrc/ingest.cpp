@@ -31,7 +31,15 @@
 #include <cstdint>
 #include <cstring>
 #include <mutex>
+#include <thread>
 #include <vector>
+
+#include <arpa/inet.h>
+#include <errno.h>
+#include <netinet/in.h>
+#include <sys/socket.h>
+#include <sys/time.h>
+#include <unistd.h>
 
 namespace {
 
@@ -594,6 +602,222 @@ void ingest_stats(void* h, uint64_t* ok, uint64_t* late, uint64_t* bad,
   *late = ig->packets_late.load();
   *bad = ig->packets_bad.load();
   *clipped = ig->packets_clipped.load();
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// UDP transport tier (SURVEY.md §2.1 "Transport experiments", §3.2 network
+// boundaries).  The reference's transport is NIC-facing spead2/UDP-multicast
+// C++; this is the TPU framework's equivalent wire leg: a recvmmsg()
+// receiver thread feeding the assembler above (one syscall per burst, the
+// shape ingest_submit_spead_burst was designed for), and a sendmmsg() sink
+// for the SpeadTransmitter's outward products.  Loopback stays available
+// for tests; this tier is what touches an actual socket.
+// ===========================================================================
+
+namespace {
+
+struct UdpRx {
+  Ingest* ig = nullptr;
+  int fd = -1;
+  int ts_id = 0, stream_id_item = 0, format = 0;
+  std::atomic<bool> stop{false};
+  std::atomic<uint64_t> datagrams{0}, bytes{0}, placed{0}, rejected{0};
+  std::thread th;
+};
+
+struct UdpTx {
+  int fd = -1;
+  std::atomic<uint64_t> datagrams{0}, bytes{0}, dropped{0};
+};
+
+constexpr int kRxBatch = 64;        // datagrams per recvmmsg crossing
+constexpr size_t kRxBufSz = 16384;  // > any SPEAD datagram we emit
+
+void rx_loop(UdpRx* rx) {
+  std::vector<uint8_t> bufs(kRxBatch * kRxBufSz);
+  mmsghdr msgs[kRxBatch];
+  iovec iov[kRxBatch];
+  for (int i = 0; i < kRxBatch; ++i) {
+    iov[i] = {bufs.data() + size_t(i) * kRxBufSz, kRxBufSz};
+    std::memset(&msgs[i], 0, sizeof msgs[i]);
+    msgs[i].msg_hdr.msg_iov = &iov[i];
+    msgs[i].msg_hdr.msg_iovlen = 1;
+  }
+  while (!rx->stop.load(std::memory_order_relaxed)) {
+    // SO_RCVTIMEO (set at create) bounds the blocking recv so stop is
+    // responsive; MSG_WAITFORONE returns as soon as anything arrived
+    // instead of waiting out the whole batch.  (recvmmsg's own timeout
+    // parameter is only checked BETWEEN datagrams — a known Linux wart
+    // — so the socket timeout is the one that actually unblocks us.)
+    int n = recvmmsg(rx->fd, msgs, kRxBatch, MSG_WAITFORONE, nullptr);
+    if (n <= 0) {
+      if (n < 0 && errno != EAGAIN && errno != EWOULDBLOCK &&
+          errno != EINTR) {
+        break;  // socket died (closed under us / network error)
+      }
+      continue;
+    }
+    for (int i = 0; i < n; ++i) {
+      uint64_t len = msgs[i].msg_len;
+      rx->datagrams.fetch_add(1, std::memory_order_relaxed);
+      rx->bytes.fetch_add(len, std::memory_order_relaxed);
+      long long r = ingest_submit_spead(
+          rx->ig, bufs.data() + size_t(i) * kRxBufSz, len, rx->ts_id,
+          rx->stream_id_item, rx->format);
+      if (r == 0) {
+        rx->placed.fetch_add(1, std::memory_order_relaxed);
+      } else {
+        // late/duplicate/bad — the assembler's own counters say which
+        rx->rejected.fetch_add(1, std::memory_order_relaxed);
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Receiver: bind a UDP socket on `bind_addr:port` (port 0 = ephemeral;
+// read back with udp_rx_port) and start a thread pumping datagrams into
+// the ingest assembler.  Returns nullptr on socket/bind failure.
+void* udp_rx_create(void* ingest, const char* bind_addr, int port,
+                    int ts_id, int stream_id_item, int format,
+                    int rcvbuf_bytes) {
+  int fd = socket(AF_INET, SOCK_DGRAM, 0);
+  if (fd < 0) return nullptr;
+  int one = 1;
+  setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof one);
+  if (rcvbuf_bytes > 0) {
+    setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf_bytes,
+               sizeof rcvbuf_bytes);
+  }
+  timeval tv{0, 100 * 1000};  // 100 ms: stop-responsiveness bound
+  setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof tv);
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons(uint16_t(port));
+  if (inet_pton(AF_INET, bind_addr, &addr.sin_addr) != 1) {
+    close(fd);
+    return nullptr;
+  }
+  if (bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof addr) != 0) {
+    close(fd);
+    return nullptr;
+  }
+  auto* rx = new UdpRx;
+  rx->ig = static_cast<Ingest*>(ingest);
+  rx->fd = fd;
+  rx->ts_id = ts_id;
+  rx->stream_id_item = stream_id_item;
+  rx->format = format;
+  rx->th = std::thread(rx_loop, rx);
+  return rx;
+}
+
+int udp_rx_port(void* h) {
+  auto* rx = static_cast<UdpRx*>(h);
+  sockaddr_in addr{};
+  socklen_t len = sizeof addr;
+  if (getsockname(rx->fd, reinterpret_cast<sockaddr*>(&addr), &len) != 0)
+    return -1;
+  return int(ntohs(addr.sin_port));
+}
+
+void udp_rx_stats(void* h, uint64_t* datagrams, uint64_t* bytes,
+                  uint64_t* placed, uint64_t* rejected) {
+  auto* rx = static_cast<UdpRx*>(h);
+  *datagrams = rx->datagrams.load();
+  *bytes = rx->bytes.load();
+  *placed = rx->placed.load();
+  *rejected = rx->rejected.load();
+}
+
+void udp_rx_destroy(void* h) {
+  auto* rx = static_cast<UdpRx*>(h);
+  rx->stop.store(true);
+  if (rx->th.joinable()) rx->th.join();
+  if (rx->fd >= 0) close(rx->fd);
+  delete rx;
+}
+
+// Transmit sink: a connected UDP socket; send_burst ships a packetized
+// burst (datagrams back to back + per-datagram lengths — exactly what
+// spead_encode produces) with ONE sendmmsg syscall per kRxBatch.
+void* udp_tx_create(const char* addr_s, int port, int sndbuf_bytes) {
+  int fd = socket(AF_INET, SOCK_DGRAM, 0);
+  if (fd < 0) return nullptr;
+  if (sndbuf_bytes > 0) {
+    setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &sndbuf_bytes,
+               sizeof sndbuf_bytes);
+  }
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons(uint16_t(port));
+  if (inet_pton(AF_INET, addr_s, &addr.sin_addr) != 1 ||
+      connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof addr) != 0) {
+    close(fd);
+    return nullptr;
+  }
+  auto* tx = new UdpTx;
+  tx->fd = fd;
+  return tx;
+}
+
+long long udp_tx_send_burst(void* h, const uint8_t* data,
+                            const uint64_t* lens, uint64_t n) {
+  auto* tx = static_cast<UdpTx*>(h);
+  long long sent_total = 0;
+  uint64_t off = 0, i = 0;
+  while (i < n) {
+    mmsghdr msgs[kRxBatch];
+    iovec iov[kRxBatch];
+    uint64_t m = std::min<uint64_t>(kRxBatch, n - i);
+    uint64_t boff = off;
+    for (uint64_t j = 0; j < m; ++j) {
+      iov[j] = {const_cast<uint8_t*>(data) + boff, size_t(lens[i + j])};
+      std::memset(&msgs[j], 0, sizeof msgs[j]);
+      msgs[j].msg_hdr.msg_iov = &iov[j];
+      msgs[j].msg_hdr.msg_iovlen = 1;
+      boff += lens[i + j];
+    }
+    int sent = sendmmsg(tx->fd, msgs, unsigned(m), 0);
+    if (sent < 0) {
+      // transient buffer pressure: count the remainder as dropped
+      // (UDP semantics — the stream keeps going, fill accounting on
+      // the receive side shows the loss)
+      tx->dropped.fetch_add(n - i, std::memory_order_relaxed);
+      return sent_total;
+    }
+    for (int j = 0; j < sent; ++j) {
+      tx->bytes.fetch_add(msgs[j].msg_len, std::memory_order_relaxed);
+    }
+    tx->datagrams.fetch_add(sent, std::memory_order_relaxed);
+    sent_total += sent;
+    if (uint64_t(sent) < m) {
+      tx->dropped.fetch_add(m - sent, std::memory_order_relaxed);
+    }
+    // advance past what this batch covered (sent or dropped)
+    off = boff;
+    i += m;
+  }
+  return sent_total;
+}
+
+void udp_tx_stats(void* h, uint64_t* datagrams, uint64_t* bytes,
+                  uint64_t* dropped) {
+  auto* tx = static_cast<UdpTx*>(h);
+  *datagrams = tx->datagrams.load();
+  *bytes = tx->bytes.load();
+  *dropped = tx->dropped.load();
+}
+
+void udp_tx_destroy(void* h) {
+  auto* tx = static_cast<UdpTx*>(h);
+  if (tx->fd >= 0) close(tx->fd);
+  delete tx;
 }
 
 }  // extern "C"

@@ -210,7 +210,7 @@ def bench_fx_step(n_ants: int = 64, n_pols: int = 2, n_chans: int = 1024,
     # DONATED carry (the runner updates them in place every chunk), so
     # they must ride the timed scan's carry too — handing the same
     # accumulator buffer to every iteration (time_throughput's protocol)
-    # forces XLA to defensively copy the 1 GB block accumulator each
+    # forces XLA to defensively copy the 0.5 GB block accumulator each
     # chunk, ~3 ms/chunk the real streaming path never pays.  The chunk
     # gets the usual data-dependent bump; the carried accumulator chains
     # iterations, defeating result caching.
@@ -240,8 +240,9 @@ def bench_fx_step(n_ants: int = 64, n_pols: int = 2, n_chans: int = 1024,
         name="fx_step_64ant",
         metric="FX-step samples/s/chip", value=samples / wall,
         unit="samp/s", wall_s=wall,
-        # int8 stream in + block accumulator (k, 2ap, 2ap) int32 in/out
-        bytes_moved=samples + 2 * k * (2 * a * p) ** 2 * 4,
+        # int8 stream in + two-block accumulator (k, 2, ap, ap) int32
+        # in/out (half the round-2 (2ap)^2 carry)
+        bytes_moved=samples + 2 * k * 2 * (a * p) ** 2 * 4,
         extra={"n_ants": a, "n_chans": k, "n_spectra": b,
                "vs_realtime_floor": samples / wall / REALTIME_FLOOR_PER_CHIP},
     ).finish()

@@ -143,7 +143,7 @@ def fx_channel_perm(cfg: ChainConfig, impl: str, mesh=None):
 def zero_vis_acc(cfg: ChainConfig) -> jnp.ndarray:
     """Zeroed X-engine integration carry for ``make_step``.
 
-    fx mode carries the full (k, 2ap, 2ap) int32 block accumulator
+    fx mode carries the (k, 2, ap, ap) int32 two-block accumulator
     (ops.xcorr.acc_shape) — baselines are extracted once per dump, not
     per chunk; other modes carry a rank-1 dummy."""
     from dc_sand_tpu.ops.xcorr import acc_shape
@@ -195,6 +195,13 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
                          f"(mode={mode}, n_pols={cfg.n_pols})")
     beam_parallel = bool(cfg.beam_parallel) and mesh is not None
     if cfg.beam_parallel:
+        if mesh is None:
+            # without a mesh the step would run single-device
+            # replicated while the caller believes EP sharding is
+            # active (`cli run --beam-parallel` without --mesh)
+            raise ValueError(
+                "beam_parallel requires a mesh (pass mesh=/--mesh; "
+                "without one the step would silently run replicated)")
         if mode != "beam":
             raise ValueError("beam_parallel needs beam mode "
                              f"(n_beams > 0, got mode={mode})")
@@ -269,7 +276,7 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
         if mode == "fengine":
             outputs["spectra"] = q
         elif mode == "fx":
-            # integration carries the full block matrix; extraction to
+            # integration carries the two-block [vr; vi] matrix; extraction to
             # baselines happens once per dump in the runner (C8/C9 —
             # the per-chunk gather round-1 shipped contradicted
             # ops/xcorr.py's own amortisation docstring)
@@ -337,7 +344,7 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
         fn = step
     else:
         a = P(FX_AXIS)
-        # fx mode carries the (k, 2ap, 2ap) block accumulator sharded on
+        # fx mode carries the (k, 2, ap, ap) two-block accumulator sharded on
         # channels (axis 0); other modes carry a rank-1 dummy
         vis_spec = P(FX_AXIS) if mode == "fx" else P(None)
         # EP mode leaves beams (and the per-beam Stokes products)

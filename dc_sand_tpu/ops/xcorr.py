@@ -17,8 +17,10 @@ integration over the time axis happens *inside* the matmul's contraction
 at full int32 precision.
 
 The streaming path (:func:`xcorr_accumulate`, used by ``make_step``)
-carries the FULL (k, 2ap, 2ap) block matrix as the integration
-accumulator and extracts the baseline triangle ONCE per accumulator dump
+carries the TWO consumed blocks (k, 2, ap, ap) = [vr; vi] as the
+integration accumulator (see :func:`_vr_vi_operands` — same MACs as the
+full (2ap, 2ap) block matrix, half the accumulator HBM traffic) and
+extracts the baseline triangle ONCE per accumulator dump
 (:func:`extract_baselines` in the runner), not per chunk — per SURVEY.md
 C8/C9.  On production shapes a Pallas kernel accumulates in place
 (``input_output_aliases``): per grid step the int8 spectra tile and the
@@ -44,6 +46,31 @@ __all__ = ["xcorr", "xcorr_full", "extract_baselines", "extract_vis",
            "xcorr_accumulate_native", "acc_shape"]
 
 
+def _vr_vi_operands(ar: jax.Array, ai: jax.Array):
+    """Column-stacked operands for the two-block CMAC form.
+
+    With A = Ar + j*Ai, the visibilities need only TWO real blocks
+
+        vr = Ar Ar^T + Ai Ai^T  =  [Ar | Ai] [Ar | Ai]^T
+        vi = Ai Ar^T - Ar Ai^T  =  [Ai | Ar] [Ar | -Ai]^T
+
+    — each ONE matmul contracting over 2b columns.  Same MAC count as
+    the round-2 (2ap, 2ap) stacked-block form, but the integration
+    accumulator (and its HBM read+write per chunk, the measured
+    bottleneck of the native CMAC kernel at the 64-ant 4k shape) is
+    HALF the size: the discarded ArAi^T/AiAr^T sub-blocks were only
+    ever consumed as these two combinations.  int32 addition is
+    associative, so the contraction regrouping is exact.
+
+    Negating int8 ``ai`` is safe: the quantiser saturates to
+    [-127, 127], so -128 (whose negation would wrap) never occurs.
+    """
+    cr = jnp.concatenate([ar, ai], axis=-1)    # (..., ap, 2b)
+    cil = jnp.concatenate([ai, ar], axis=-1)
+    cir = jnp.concatenate([ar, -ai], axis=-1)
+    return cr, cil, cir
+
+
 def xcorr_full(q: jax.Array) -> jax.Array:
     """Full correlation matrix from channel-major quantised spectra.
 
@@ -54,20 +81,14 @@ def xcorr_full(q: jax.Array) -> jax.Array:
     k, n_ants, n_pols, b, _ = q.shape
     ap = n_ants * n_pols
     a = q.reshape(k, ap, b, 2)
-    # stacked form: one matmul of A2 = [Ar; Ai] against itself gives the
-    # four real blocks [[ArAr^T, ArAi^T], [AiAr^T, AiAi^T]] — measured
-    # ~16% faster than four separate dot_generals (fewer input passes)
-    a2 = jnp.concatenate([a[..., 0], a[..., 1]], axis=1)  # (k, 2ap, b)
-    full2 = jax.lax.dot_general(
-        a2, a2, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)                 # (k, 2ap, 2ap)
-    rr = full2[:, :ap, :ap]
-    ri = full2[:, :ap, ap:]
-    ir = full2[:, ap:, :ap]
-    ii = full2[:, ap:, ap:]
-    vr = rr + ii
-    vi = ir - ri
-    return jnp.stack([vr, vi], axis=-1)
+    cr, cil, cir = _vr_vi_operands(a[..., 0], a[..., 1])
+
+    def bdot(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+
+    return jnp.stack([bdot(cr, cr), bdot(cil, cir)], axis=-1)
 
 
 def extract_baselines(full: jax.Array, n_ants: int,
@@ -83,35 +104,49 @@ def extract_baselines(full: jax.Array, n_ants: int,
 
 
 def acc_shape(n_ants: int, n_pols: int, n_chans: int) -> tuple:
-    """Shape of the streaming X-engine integration accumulator: the full
-    (k, 2ap, 2ap) stacked-block matrix carried across chunks."""
+    """Shape of the streaming X-engine integration accumulator:
+    ``(k, 2, ap, ap)`` int32 holding the two blocks that downstream
+    extraction actually consumes — ``acc[:, 0] = vr = ArAr^T + AiAi^T``
+    and ``acc[:, 1] = vi = AiAr^T - ArAi^T`` (see
+    :func:`_vr_vi_operands`).  Half the round-2 (k, 2ap, 2ap) carry:
+    half the HBM read+write per chunk, half the checkpoint."""
     ap = n_ants * n_pols
-    return (n_chans, 2 * ap, 2 * ap)
+    return (n_chans, 2, ap, ap)
 
 
-def _cmac_kernel(q_ref, acc_ref, out_ref, *, kt):
-    # q_ref: (kt, 2ap, b) int8; acc_ref/out_ref: (kt, 2ap, 2ap) int32
-    # (aliased, accumulated in place in VMEM)
+def _cmac_kernel(q_ref, acc_ref, out_ref, *, kt, ap):
+    # q_ref: (kt, 2ap, b) int8; acc_ref/out_ref: (kt, 2, ap, ap) int32
+    # (aliased, accumulated in place in VMEM).  Four (ap, b) s8 dots
+    # with the vr-add / vi-sub in int32: Mosaic has no int8 vector
+    # subtraction, so the -Ai column-stacked form can't lower.
     for c in range(kt):
-        a2 = q_ref[c]
-        out_ref[c] = acc_ref[c] + jax.lax.dot_general(
-            a2, a2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
+        ar, ai = q_ref[c, :ap], q_ref[c, ap:]
+
+        def dot(x, y):
+            return jax.lax.dot_general(
+                x, y, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        out_ref[c, 0] = acc_ref[c, 0] + dot(ar, ar) + dot(ai, ai)
+        out_ref[c, 1] = acc_ref[c, 1] + dot(ai, ar) - dot(ar, ai)
 
 
 def _xcorr_accumulate_pallas(acc: jax.Array, a2: jax.Array,
                              interpret: bool = False) -> jax.Array:
-    """acc (k, 2ap, 2ap) int32 += a2 @ a2^T per channel, in place.
+    """acc (k, 2, ap, ap) int32 += [vr; vi] blocks per channel, in place.
 
     ``a2: (k, 2ap, b) int8`` stacked [Ar; Ai].  Channel tiles of ``kt``
     ride the grid; the accumulator tile is read, bumped and written once
     (donated via ``input_output_aliases``).
     """
     k, tap, b = a2.shape
+    ap = tap // 2
     kt = None
     for cand in (8, 4, 2, 1):
-        # VMEM per step: q tile + 2x acc tile (+ dot temp) — keep << 16M
-        if k % cand == 0 and cand * tap * (b + 12 * tap) <= 8 * 1024 * 1024:
+        # VMEM per step: q tile + stacked operand copies + 2x acc tile
+        # (+ dot temp) — keep << 16M
+        if k % cand == 0 and cand * tap * (4 * b + 6 * tap) \
+                <= 8 * 1024 * 1024:
             kt = cand
             break
     if kt is None:
@@ -120,17 +155,17 @@ def _xcorr_accumulate_pallas(acc: jax.Array, a2: jax.Array,
         # launching a kernel that fails at compile
         return None
     return pl.pallas_call(
-        functools.partial(_cmac_kernel, kt=kt),
+        functools.partial(_cmac_kernel, kt=kt, ap=ap),
         grid=(k // kt,),
         in_specs=[
             pl.BlockSpec((kt, tap, b), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt, tap, tap), lambda i: (i, 0, 0),
+            pl.BlockSpec((kt, 2, ap, ap), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((kt, tap, tap), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((kt, 2, ap, ap), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, tap, tap), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((k, 2, ap, ap), jnp.int32),
         input_output_aliases={1: 0},
         interpret=interpret,
     )(a2, acc)
@@ -138,12 +173,12 @@ def _xcorr_accumulate_pallas(acc: jax.Array, a2: jax.Array,
 
 def xcorr_accumulate(acc: jax.Array, q: jax.Array,
                      impl: str = "auto") -> jax.Array:
-    """One chunk of X-engine integration: ``acc + sum_b A A^H`` blocks.
+    """One chunk of X-engine integration: ``acc + [vr; vi]`` blocks.
 
-    ``acc: (k, 2ap, 2ap) int32`` (see :func:`acc_shape`); ``q: (k, ant,
+    ``acc: (k, 2, ap, ap) int32`` (see :func:`acc_shape`); ``q: (k, ant,
     pol, b, 2) int8`` corner-turned F-engine output.  Returns the bumped
-    accumulator (same block layout as :func:`xcorr_full`, so
-    :func:`extract_baselines` applies at dump time).
+    accumulator (same two-block layout as :func:`xcorr_full`, so
+    :func:`extract_vis` applies at dump time).
     """
     k, n_ants, n_pols, b, _ = q.shape
     ap = n_ants * n_pols
@@ -161,61 +196,92 @@ def xcorr_accumulate_a2(acc: jax.Array, a2: jax.Array,
     dump cadence)."""
     impl = resolve_impl(impl)
     _, tap, b = a2.shape
+    ap = tap // 2
     # Pallas wants lane/sublane-tileable operands; small test shapes ride
     # the jnp path (same math, XLA batched matmul)
-    if impl.startswith("pallas") and tap % 8 == 0 and b % 128 == 0:
+    if impl.startswith("pallas") and tap % 16 == 0 and b % 128 == 0:
         out = _xcorr_accumulate_pallas(
             acc, a2, interpret=(impl == "pallas_interpret"))
         if out is not None:
             return out
-    full2 = jax.lax.dot_general(
-        a2, a2, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)
-    return acc + full2
+    cr, cil, cir = _vr_vi_operands(a2[:, :ap], a2[:, ap:])
+
+    def bdot(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+
+    return acc + jnp.stack([bdot(cr, cr), bdot(cil, cir)], axis=1)
 
 
 def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
-                        x2_scr, *, ap, b, k1n, kg):
+                        z_scr, *, ap, b, k1n, kg, bt):
     """Fused relayout + CMAC for one (k2-plane, k1-group) grid step.
 
     The native F-engine layout has channel k1 on the LANE axis, but the
-    CMAC needs per-channel (2ap, b) matrices — a relayout XLA performs
+    CMAC needs per-channel (ap, b) matrices — a relayout XLA performs
     as a ~117 GB/s HBM transpose pass (4.6 ms/chunk at the 64-ant 4k
     shape).  Here the relayout happens on the MXU instead: contracting
     an identity against the lane axis moves it to the FRONT
-    (``z[k1c, c, s, t] = sum_k1 I[k1c, k1] x2[c, s, t, k1]``) — each
-    output is a one-hot sum of int8-range values, exact in bf16 — and
-    the operand never round-trips HBM.  The per-channel CMAC then runs
-    in bf16 with fp32 accumulation, which is EXACT for int8 spectra as
-    long as b <= 1024 (|sum| <= b * 127^2 < 2^24); the wrapper gates on
-    that and falls back to the int8-MXU a2 path otherwise.
+    (``z[k1c, s, c, t] = sum_k1 I[k1c, k1] qn[s, c, t, k1]``) — each
+    output is a ONE-HOT sum of int8-range values, so the whole pass is
+    exact in s8xs8->s32.
+
+    Everything rides the MXU's int8 path (2x the bf16 MACs/s; the s32
+    accumulation removes any fp32 exactness bound — headroom is the
+    int32 bound b <= ~66k enforced upstream by the runner's dump
+    cadence).  Two occupancy lessons are baked in, each measured at the
+    64-ant 4k contract shape:
+
+    * The relayout runs ONCE per k2-plane with ALL k1n rows (M = k1n =
+      full MXU height), tiled over b to bound the int32 dot temporary,
+      landing int8 in VMEM scratch.  The round-2 kernel relayouted per
+      kg-group (M = kg, as low as 16/128 rows) — an MXU pass costs the
+      same regardless of row fill, so that wasted 7/8 of every
+      identity pass and made the relayout ~4x the CMAC's tile-ops.
+    * The CMAC is the two-block form: FOUR (ap, b) s8 dots per channel
+      with the vr-add / vi-sub in int32 (see :func:`_vr_vi_operands`;
+      same MACs as the round-2 (2ap)^2 stacked-block dot, HALF the
+      accumulator HBM traffic).  The column-stacked single-dot variant
+      needs -Ai, and Mosaic has no int8 vector subtraction (arith.subi
+      on i8 fails to legalize) — the int32 subtract after the dot is
+      free by comparison.
     """
     g = pl.program_id(1)
 
     @pl.when(g == 0)
     def _():
         # qn block (ap, 1, 2, b, k1n) int8 — fetched once per k2 (the
-        # index map repeats across g, so Pallas skips the re-fetch);
-        # cast+leading-permute to stacked-real-major (c-major rows,
-        # matching the a2/acc convention)
-        x2_scr[...] = qn_ref[:, 0].astype(jnp.bfloat16).transpose(
-            1, 0, 2, 3)
+        # index map repeats across g, so Pallas skips the re-fetch).
+        # The (ap, 2) -> (2, ap) transpose permutes MAJOR dims only (a
+        # vreg relabeling, not an intra-vreg shuffle) and keeps both
+        # the dot output and the scratch minor-dims as (ap, b*) — a
+        # (2, b) minor layout would pad every sublane tile 4x.
+        for t in range(b // bt):
+            x2 = qn_ref[:, 0, :, t * bt:(t + 1) * bt, :].transpose(
+                1, 0, 2, 3)                        # (2, ap, bt, k1n)
+            zt = jax.lax.dot_general(
+                eye_ref[...], x2, (((1,), (3,)), ((), ())),
+                preferred_element_type=jnp.int32)  # (k1n, 2, ap, bt)
+            z_scr[:, :, :, t * bt:(t + 1) * bt] = zt.astype(jnp.int8)
 
-    # this k1-group's slice of the relayout: one MXU pass
-    zf = jax.lax.dot_general(
-        eye_ref[...], x2_scr[...], (((1,), (3,)), ((), ())),
-        preferred_element_type=jnp.float32)       # (kg, 2, ap, b)
-    z = zf.astype(jnp.bfloat16)                   # exact: int8 range
     # integration-window reset rides into the accumulate (keep = 0
     # zeroes the carry) — a lax.cond at the XLA level costs a full
-    # copy of the 1 GB accumulator on its identity arm
+    # copy of the accumulator on its identity arm
     keep = keep_ref[0]
-    for k1 in range(kg):
-        a2 = z[k1].reshape(2 * ap, b)
-        v = jax.lax.dot_general(
-            a2, a2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)   # exact: < 2^24
-        out_ref[0, k1] = acc_ref[0, k1] * keep + v.astype(jnp.int32)
+    zg = z_scr[pl.ds(g * kg, kg)]                  # (kg, 2, ap, b)
+    for j in range(kg):
+        zr, zi = zg[j, 0], zg[j, 1]
+
+        def dot(x, y):
+            return jax.lax.dot_general(
+                x, y, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)  # s8xs8->s32 MXU
+
+        out_ref[0, j, 0] = (acc_ref[0, j, 0] * keep
+                            + dot(zr, zr) + dot(zi, zi))
+        out_ref[0, j, 1] = (acc_ref[0, j, 1] * keep
+                            + dot(zi, zr) - dot(zr, zi))
 
 
 def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
@@ -223,7 +289,7 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
     """Streaming X-engine integration STRAIGHT from the fused F-engine's
     native plane layout (no materialised corner-turn).
 
-    ``acc: (K, 2ap, 2ap) int32`` in NATIVE channel order (k2-major,
+    ``acc: (K, 2, ap, ap) int32`` in NATIVE channel order (k2-major,
     ``K = m2 * k1n``); ``qn: (a, p, m2, 2, b, k1n) int8`` as produced by
     ``f_engine(..., layout="native")`` (possibly after an ``all_to_all``
     that split the m2 axis).  Bitwise-identical to building ``a2`` with
@@ -239,15 +305,16 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
     a, p, m2, _, b, k1n = qn.shape
     ap = a * p
     # footprint gate: the b-linear VMEM residents — the double-buffered
-    # qn block (ap*2*b*k1n int8 x2) and the x2 relayout scratch
-    # (2*ap*b*k1n bf16) — total 8*ap*b*k1n bytes and do NOT shrink with
-    # the kg group scaling below; bound them so gate-admitted shapes
-    # actually compile (flagship ap=128, b=512, k1n=128 = 67 MB,
-    # measured good; b=1024 would be 134 MB > the 100 MB kernel limit)
+    # qn block (2*ap*b*k1n int8 x2), the int8 z relayout scratch
+    # (2*ap*b*k1n), and the per-b-tile int32 relayout temporary
+    # (8*ap*k1n*bt) — bound them so gate-admitted shapes actually
+    # compile (flagship ap=128, b=512, k1n=128: 50 + 17 MB, measured
+    # good under the 100 MB kernel limit with the acc blocks on top)
+    bt = 128
+    scr_bytes = 6 * ap * b * k1n + 8 * ap * k1n * bt
     ok = (impl.startswith("pallas") and k1n % 128 == 0 and b % 128 == 0
-          and b <= 1024                      # fp32-CMAC exactness bound
-          and 8 * ap * b * k1n <= 96 * 1024 * 1024
-          and (2 * ap) % 8 == 0 and acc.shape[0] == m2 * k1n)
+          and scr_bytes <= 88 * 1024 * 1024
+          and ap % 8 == 0 and acc.shape[0] == m2 * k1n)
     keep = (jnp.int32(1) if reset is None
             else 1 - jnp.asarray(reset).astype(jnp.int32))
     if not ok:
@@ -256,36 +323,36 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
         a2 = qn.transpose(2, 5, 3, 0, 1, 4).reshape(
             m2 * k1n, 2 * ap, b)
         return xcorr_accumulate_a2(acc, a2, impl=impl)
-    # k1-group size: kg*b bounds the fp32 relayout temporary (kg, 2,
-    # ap, b) and the per-group acc/out blocks; scale it down for long
-    # integration tiles so the kernel stays inside scoped VMEM (b=512
-    # at kg=k1n//4 measured 118.76 MB > the 100 MB limit)
-    kg = max(1, min(k1n // 4, (k1n // 4) * 256 // b))
+    # k1-group size: bounds only the per-group acc/out blocks (the
+    # relayout is plane-wide into scratch regardless) and the per-step
+    # CMAC unroll; kg = 16 keeps the acc blocks at ~kg*2*ap^2*8 bytes
+    # (4.2 MB at ap=128) and the unroll at 64 dots
+    kg = min(16, k1n)
     while k1n % kg:
         kg -= 1
     qn2 = qn.reshape(ap, m2, 2, b, k1n)
-    eye = jnp.asarray(np.eye(k1n, dtype=np.float32), jnp.bfloat16)
-    acc4 = acc.reshape(m2, k1n, 2 * ap, 2 * ap)
+    eye = jnp.asarray(np.eye(k1n, dtype=np.int8))
+    acc4 = acc.reshape(m2, k1n, 2, ap, ap)
     out = pl.pallas_call(
         functools.partial(_cmac_native_kernel, ap=ap, b=b, k1n=k1n,
-                          kg=kg),
+                          kg=kg, bt=bt),
         grid=(m2, k1n // kg),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((ap, 1, 2, b, k1n),
                          lambda k2, g: (0, k2, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kg, k1n), lambda k2, g: (g, 0),
+            pl.BlockSpec((k1n, k1n), lambda k2, g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kg, 2 * ap, 2 * ap),
-                         lambda k2, g: (k2, g, 0, 0),
+            pl.BlockSpec((1, kg, 2, ap, ap),
+                         lambda k2, g: (k2, g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, kg, 2 * ap, 2 * ap),
-                               lambda k2, g: (k2, g, 0, 0),
+        out_specs=pl.BlockSpec((1, kg, 2, ap, ap),
+                               lambda k2, g: (k2, g, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(acc4.shape, jnp.int32),
-        scratch_shapes=[pltpu.VMEM((2, ap, b, k1n), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((k1n, 2, ap, b), jnp.int8)],
         input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -295,19 +362,14 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
 
 
 def extract_vis(acc: jax.Array, n_ants: int, n_pols: int) -> jax.Array:
-    """Dump-time extraction from the streaming block accumulator.
+    """Dump-time extraction from the streaming two-block accumulator.
 
-    ``acc: (k, 2ap, 2ap) int32`` (from :func:`xcorr_accumulate`) ->
+    ``acc: (k, 2, ap, ap) int32`` (from :func:`xcorr_accumulate`) ->
     ``(n_bl, pi, pj, k, 2) int32`` canonical visibilities.  Runs once
     per accumulator dump (the runner jits it), so its gather cost is
     amortised over the whole integration window.
     """
-    ap = n_ants * n_pols
-    rr = acc[:, :ap, :ap]
-    ri = acc[:, :ap, ap:]
-    ir = acc[:, ap:, :ap]
-    ii = acc[:, ap:, ap:]
-    full = jnp.stack([rr + ii, ir - ri], axis=-1)
+    full = jnp.stack([acc[:, 0], acc[:, 1]], axis=-1)
     return extract_baselines(full, n_ants, n_pols)
 
 

@@ -17,7 +17,7 @@ import numpy as np
 
 __all__ = ["NativeIngest", "load_library", "unpack_10bit",
            "multi_ingest_source", "spead_packetize",
-           "SpeadTransmitter"]
+           "SpeadTransmitter", "UdpSpeadReceiver", "UdpSpeadSink"]
 
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "csrc")
@@ -85,6 +85,25 @@ def load_library() -> ctypes.CDLL:
     lib.unpack_10bit.argtypes = [ctypes.c_char_p,
                                  ctypes.POINTER(ctypes.c_int8),
                                  ctypes.c_uint64]
+    lib.udp_rx_create.restype = ctypes.c_void_p
+    lib.udp_rx_create.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.udp_rx_port.restype = ctypes.c_int
+    lib.udp_rx_port.argtypes = [ctypes.c_void_p]
+    lib.udp_rx_stats.argtypes = [ctypes.c_void_p] + \
+        [ctypes.POINTER(ctypes.c_uint64)] * 4
+    lib.udp_rx_destroy.argtypes = [ctypes.c_void_p]
+    lib.udp_tx_create.restype = ctypes.c_void_p
+    lib.udp_tx_create.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                  ctypes.c_int]
+    lib.udp_tx_send_burst.restype = ctypes.c_longlong
+    lib.udp_tx_send_burst.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64]
+    lib.udp_tx_stats.argtypes = [ctypes.c_void_p] + \
+        [ctypes.POINTER(ctypes.c_uint64)] * 3
+    lib.udp_tx_destroy.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -438,5 +457,107 @@ class NativeIngest:
             if getattr(self, "_h", None):
                 self._lib.ingest_destroy(self._h)
                 self._h = None
+        except Exception:
+            pass
+
+
+class UdpSpeadReceiver:
+    """The wire leg of the ingest tier: a native ``recvmmsg()`` thread
+    pumping SPEAD datagrams off a real UDP socket into a
+    :class:`NativeIngest` assembler (SURVEY.md §2.1 transport row, §3.2
+    network boundary — the reference's equivalent is its spead2/UDP
+    NIC-facing C++).  All datagram handling stays in C++
+    (``csrc/ingest.cpp:udp_rx_create``); Python only starts/stops and
+    reads counters.
+
+    ``port=0`` binds an ephemeral port (read it back from ``.port`` —
+    the localhost demo/tests use this).  The receiver holds a reference
+    to the ingest so the assembler cannot be collected under the
+    thread.
+    """
+
+    def __init__(self, ingest: NativeIngest, *, bind_addr: str = "0.0.0.0",
+                 port: int = 0, ts_id: int = NativeIngest.SPEAD_TS_ID,
+                 stream_id: int = NativeIngest.SPEAD_STREAM_ID,
+                 fmt: int = NativeIngest.FORMAT_INT8,
+                 rcvbuf_bytes: int = 8 * 1024 * 1024):
+        self._lib = load_library()
+        self._ingest = ingest          # keep the assembler alive
+        self._h = ctypes.c_void_p(self._lib.udp_rx_create(
+            ingest._h, bind_addr.encode(), port, ts_id, stream_id, fmt,
+            rcvbuf_bytes))
+        if not self._h:
+            raise OSError(
+                f"udp_rx_create failed for {bind_addr}:{port} "
+                "(bad address or bind error)")
+        self.port = self._lib.udp_rx_port(self._h)
+
+    def stats(self):
+        vals = [ctypes.c_uint64() for _ in range(4)]
+        self._lib.udp_rx_stats(self._h, *map(ctypes.byref, vals))
+        return {"datagrams": vals[0].value, "bytes": vals[1].value,
+                "placed": vals[2].value, "rejected": vals[3].value}
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.udp_rx_destroy(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class UdpSpeadSink:
+    """``sendmmsg()`` transmit sink for :class:`SpeadTransmitter`:
+    ships a packetized burst (the exact ``(buf, lens)`` shape
+    :func:`spead_packetize` produces) to ``addr:port`` with one syscall
+    per 64 datagrams.  UDP semantics: a full socket buffer drops
+    packets (counted in ``stats()["dropped"]``) rather than blocking
+    the real-time path."""
+
+    def __init__(self, addr: str, port: int,
+                 sndbuf_bytes: int = 8 * 1024 * 1024):
+        self._lib = load_library()
+        self._h = ctypes.c_void_p(self._lib.udp_tx_create(
+            addr.encode(), port, sndbuf_bytes))
+        if not self._h:
+            raise OSError(f"udp_tx_create failed for {addr}:{port}")
+
+    def __call__(self, buf, lens) -> int:
+        lens = np.ascontiguousarray(lens, np.uint64)
+        return self._lib.udp_tx_send_burst(
+            self._h, bytes(buf) if not isinstance(buf, bytes) else buf,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            len(lens))
+
+    def stats(self):
+        vals = [ctypes.c_uint64() for _ in range(3)]
+        self._lib.udp_tx_stats(self._h, *map(ctypes.byref, vals))
+        return {"datagrams": vals[0].value, "bytes": vals[1].value,
+                "dropped": vals[2].value}
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.udp_tx_destroy(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
         except Exception:
             pass

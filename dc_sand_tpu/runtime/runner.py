@@ -145,7 +145,7 @@ class FXRunner:
         if self.mode == "fx":
             # dump-time baseline extraction (jitted once; n_ants/n_pols
             # are static) — the accumulator itself carries the full
-            # (k, 2ap, 2ap) block matrix between chunks.  When the step
+            # (k, 2, ap, ap) two-block matrix between chunks.  When the step
             # keeps the fused kernel's native channel order, extraction
             # also reorders channels back to natural (still only once
             # per dump).

@@ -197,8 +197,39 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
         snrs["visibilities"] = min(vals) if vals else float("nan")
     else:  # beam
         wg = weights[..., 0] + 1j * weights[..., 1]
-        got_b = np.concatenate([o["beams"] for o in outputs], axis=2)
-        got_i = np.concatenate([o["incoherent"] for o in outputs], axis=1)
-        snrs["beams"] = snr_db(golden.beamform(spec_g, wg), np_ri2c(got_b))
+        beams_g = golden.beamform(spec_g, wg)
+        spc = cfg.spectra_per_chunk
+
+        def _addressable(x):
+            return (not hasattr(x, "is_fully_addressable")
+                    or x.is_fully_addressable)
+
+        if all(_addressable(o["beams"]) for o in outputs):
+            got_b = np.concatenate([np.asarray(o["beams"])
+                                    for o in outputs], axis=2)
+            snrs["beams"] = snr_db(beams_g, np_ri2c(got_b))
+        else:
+            # multi-host EP (beam_parallel): the runner deliberately
+            # passes beams through as NON-fully-addressable arrays —
+            # each process holds only its fully-reduced beam subset
+            # after the psum_scatter.  Materialising them would raise
+            # "spans non-addressable devices"; compare each addressable
+            # shard against the matching golden beam slice instead
+            # (the same per-shard grading as tests/_mp_fx_worker.py's
+            # beam_ep leg).
+            vals = []
+            for i, o in enumerate(outputs):
+                for s in o["beams"].addressable_shards:
+                    idx = tuple(s.index)  # (beam, pol, b, k, 2) slices
+                    ref = beams_g[idx[0], idx[1],
+                                  i * spc:(i + 1) * spc, idx[3]]
+                    vals.append(snr_db(ref, np_ri2c(np.asarray(s.data))))
+            if not vals:
+                raise RuntimeError(
+                    "beam_parallel verify: no addressable beam shards "
+                    "on this process")
+            snrs["beams"] = min(vals)
+        got_i = np.concatenate([np.asarray(o["incoherent"])
+                                for o in outputs], axis=1)
         snrs["incoherent"] = snr_db(golden.incoherent_sum(spec_g), got_i)
     return snrs, counters

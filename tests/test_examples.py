@@ -15,6 +15,7 @@ _EX = os.path.join(os.path.dirname(os.path.dirname(
 @pytest.mark.parametrize("script", ["fx_observation.py",
                                     "beam_pointing.py",
                                     "spead_loopback.py",
+                                    "udp_observation.py",
                                     "observe.py",
                                     "beams.py"])
 def test_example_passes(script):

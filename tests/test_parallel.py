@@ -497,6 +497,11 @@ class TestShardedBeamStep:
         with pytest.raises(ValueError, match="beam mode"):
             make_step(cfg.replace(n_beams=0, beam_parallel=True),
                       pfb_window(TAPS, M), mesh=mesh, impl="jnp")
+        # no mesh: the step would silently run replicated while the
+        # caller believes EP is active — must refuse (ADVICE r2)
+        with pytest.raises(ValueError, match="requires a mesh"):
+            make_step(cfg.replace(n_beams=4), pfb_window(TAPS, M),
+                      mesh=None, impl="jnp")
 
 
 class TestCollectivesBench:
