@@ -17,7 +17,44 @@ from dc_sand_tpu import ops
 from dc_sand_tpu.bench.harness import BenchResult, time_throughput
 from dc_sand_tpu.golden.chain import baseline_pairs
 
-__all__ = ["bench_xcorr", "bench_beamform"]
+__all__ = ["bench_xcorr", "bench_beamform", "bench_fft"]
+
+
+def bench_fft(n_chans: int = 1024, n_streams: int = 16,
+              n_spectra: int = 512, iters: int = 64) -> list:
+    """rfft implementations head to head at the channelizer shape (C4):
+    XLA's ``rfft`` (VPU) vs the matmul-formulated Cooley-Tukey split on
+    the MXU (``ops.fft_mxu.rfft_mxu``).  The production F-engine fuses
+    its own 2-stage FFT in the Pallas kernel (benched via ``fengine``);
+    this comparison is the standalone-FFT datum that motivated it —
+    run both, read which unit wins at a given shape."""
+    import jax
+
+    from dc_sand_tpu.ops.fft import channelize
+    from dc_sand_tpu.ops.fft_mxu import channelize_mxu
+    m = 2 * n_chans
+    x = jax.block_until_ready(jax.jit(
+        lambda: jax.random.normal(
+            jax.random.key(0),
+            (n_streams, n_spectra, m), jnp.float32) * 30)())
+    out = []
+    for name, fn in (("fft_xla_rfft", channelize),
+                     ("fft_mxu_matmul", channelize_mxu)):
+        wall = time_throughput(lambda x_: fn(x_, n_chans), (x,),
+                               iters=iters)
+        samples = n_streams * n_spectra * m
+        # 5 M log2 M real FLOPs per length-M rfft (standard count); the
+        # MXU path trades that for 6x-dense-DFT matmul MACs
+        flops = 5 * samples * np.log2(m)
+        out.append(BenchResult(
+            name=name, metric="FFT samples/s",
+            value=samples / wall, unit="samp/s", wall_s=wall,
+            bytes_moved=samples * 4 + samples // 2 * 8,
+            extra={"n_chans": n_chans, "n_streams": n_streams,
+                   "n_spectra": n_spectra,
+                   "equiv_gflops": flops / wall / 1e9},
+        ).finish())
+    return out
 
 
 def bench_xcorr(n_ants: int = 64, n_pols: int = 2, n_chans: int = 4096,

@@ -192,6 +192,9 @@ def _run_bench(args) -> int:
         for layout in ("native", "wire"):
             results.append(bench_beamform(n_chans=args.scale or 4096,
                                           layout=layout))
+    elif args.target == "fft":
+        from dc_sand_tpu.bench.kernels import bench_fft
+        results.extend(bench_fft(n_chans=args.scale or 1024))
     elif args.target == "membench":
         from dc_sand_tpu.bench.membench import (bench_membench, bench_h2d,
                                                  PATTERNS)
@@ -200,13 +203,16 @@ def _run_bench(args) -> int:
         results.append(bench_h2d())
     elif args.target == "ingest":
         from dc_sand_tpu.bench.ingest_bench import (bench_ingest_host,
-                                                    bench_ingest_runner)
+                                                    bench_ingest_runner,
+                                                    bench_ingest_udp)
         results.append(bench_ingest_host(delay_in_ingest=True,
                                          zero_copy=True, n_workers=4))
         results.append(bench_ingest_host(delay_in_ingest=True,
                                          zero_copy=True))
         results.append(bench_ingest_host(delay_in_ingest=True))
         results.append(bench_ingest_host(delay_in_ingest=False))
+        results.append(bench_ingest_udp())
+        results.append(bench_ingest_udp(n_workers=4))
         results.append(bench_ingest_runner())
     elif args.target == "scaling":
         from dc_sand_tpu.bench.scaling import bench_scaling
@@ -292,7 +298,7 @@ def main(argv=None) -> int:
     pb = sub.add_parser("bench", help="benchmark on the local chip")
     pb.add_argument("target", nargs="?", default="fengine",
                     choices=["fengine", "pfb", "fx", "beam-step",
-                             "xcorr", "beamform", "collectives",
+                             "xcorr", "beamform", "fft", "collectives",
                              "membench", "scaling", "ingest"])
     pb.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler (xprof/perfetto) trace")

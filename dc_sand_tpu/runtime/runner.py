@@ -85,10 +85,10 @@ class FXRunner:
             self._sh_by_axis = {
                 ax: NamedSharding(mesh, P(*([None] * ax + [FX_AXIS])))
                 for ax in (0, 1)}
-        if self._mp and self.mode == "fengine":
-            raise NotImplementedError(
-                "multi-process fengine mode would emit antenna-sharded "
-                "per-chunk outputs; run fx or beam mode per host")
+        # fengine mode under multi-process emits antenna-sharded
+        # per-chunk spectra; on_output hands them over as jax Arrays
+        # (each host consumes its own addressable antenna shards — the
+        # same pass-through contract as EP beam shards below)
         if self._mp and cfg.time_shards > 1:
             raise NotImplementedError(
                 "multi-process SP streaming: the runner's global-array "

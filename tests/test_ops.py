@@ -71,6 +71,24 @@ class TestChannelize:
         out = ops.channelize(jnp.asarray(fir, jnp.float32), N_CHANS)
         assert snr_db(ref, np.asarray(out)) > 100
 
+    @pytest.mark.parametrize("n_chans", [64, 1024])
+    def test_mxu_matmul_fft_matches_rfft(self, n_chans):
+        """The MXU matmul-formulated rfft (ops/fft_mxu.py, benched via
+        `cli bench fft`) matches numpy float64 rfft in natural bin
+        order at contract precision."""
+        from dc_sand_tpu.ops.fft_mxu import channelize_mxu
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=(3, 4, 2 * n_chans)).astype(np.float32) * 30
+        ref = np.fft.rfft(x.astype(np.float64))[..., :n_chans]
+        out = np.asarray(channelize_mxu(jnp.asarray(x), n_chans))
+        assert out.shape == ref.shape
+        assert snr_db(ref, out) > 100
+
+    def test_mxu_fft_rejects_bad_length(self):
+        from dc_sand_tpu.ops.fft_mxu import channelize_mxu
+        with pytest.raises(ValueError, match="FFT length"):
+            channelize_mxu(jnp.zeros((2, 100), jnp.float32), 64)
+
 
 class TestPhase:
     def test_matches_golden(self):
