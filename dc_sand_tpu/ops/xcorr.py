@@ -215,7 +215,7 @@ def xcorr_accumulate_a2(acc: jax.Array, a2: jax.Array,
 
 
 def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
-                        z_scr, *, ap, b, k1n, kg, bt):
+                        z_scr, *, ap, b, k1n, kg, bt, ablate=()):
     """Fused relayout + CMAC for one (k2-plane, k1-group) grid step.
 
     The native F-engine layout has channel k1 on the LANE axis, but the
@@ -257,18 +257,25 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
         # vreg relabeling, not an intra-vreg shuffle) and keeps both
         # the dot output and the scratch minor-dims as (ap, b*) — a
         # (2, b) minor layout would pad every sublane tile 4x.
-        for t in range(b // bt):
-            x2 = qn_ref[:, 0, :, t * bt:(t + 1) * bt, :].transpose(
-                1, 0, 2, 3)                        # (2, ap, bt, k1n)
-            zt = jax.lax.dot_general(
-                eye_ref[...], x2, (((1,), (3,)), ((), ())),
-                preferred_element_type=jnp.int32)  # (k1n, 2, ap, bt)
-            z_scr[:, :, :, t * bt:(t + 1) * bt] = zt.astype(jnp.int8)
+        if "relayout" not in ablate:
+            for t in range(b // bt):
+                x2 = qn_ref[:, 0, :, t * bt:(t + 1) * bt, :].transpose(
+                    1, 0, 2, 3)                    # (2, ap, bt, k1n)
+                zt = jax.lax.dot_general(
+                    eye_ref[...], x2, (((1,), (3,)), ((), ())),
+                    preferred_element_type=jnp.int32)  # (k1n,2,ap,bt)
+                z_scr[:, :, :, t * bt:(t + 1) * bt] = zt.astype(
+                    jnp.int8)
 
     # integration-window reset rides into the accumulate (keep = 0
     # zeroes the carry) — a lax.cond at the XLA level costs a full
     # copy of the accumulator on its identity arm
     keep = keep_ref[0]
+    if "cmac" in ablate:
+        # attribution mode: skip the per-channel dots, still touch the
+        # acc blocks (isolates relayout + DMA cost)
+        out_ref[...] = acc_ref[...] * keep
+        return
     zg = z_scr[pl.ds(g * kg, kg)]                  # (kg, 2, ap, b)
     for j in range(kg):
         zr, zi = zg[j, 0], zg[j, 1]
@@ -285,7 +292,8 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
 
 
 def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
-                            reset=None, impl: str = "auto") -> jax.Array:
+                            reset=None, impl: str = "auto",
+                            _ablate: tuple = ()) -> jax.Array:
     """Streaming X-engine integration STRAIGHT from the fused F-engine's
     native plane layout (no materialised corner-turn).
 
@@ -300,7 +308,14 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
     ``reset`` (optional traced bool) zeroes the carried accumulator for
     a new integration window INSIDE the kernel — at the XLA level that
     conditional costs a full defensive copy of the accumulator.
+
+    ``_ablate`` (bench attribution ONLY — wrong results by design):
+    "relayout" skips the identity-dot corner-turn, "cmac" skips the
+    per-channel dots; each isolates the other's share plus DMA.
     """
+    for flag in _ablate:
+        if flag not in ("relayout", "cmac"):
+            raise ValueError(f"unknown ablate flag {flag!r}")
     impl = resolve_impl(impl)
     a, p, m2, _, b, k1n = qn.shape
     ap = a * p
@@ -335,7 +350,7 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
     acc4 = acc.reshape(m2, k1n, 2, ap, ap)
     out = pl.pallas_call(
         functools.partial(_cmac_native_kernel, ap=ap, b=b, k1n=k1n,
-                          kg=kg, bt=bt),
+                          kg=kg, bt=bt, ablate=tuple(_ablate)),
         grid=(m2, k1n // kg),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
