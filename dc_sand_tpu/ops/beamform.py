@@ -104,8 +104,8 @@ def _beamform_pallas(xr, xi, wr, wi, interpret=False):
     return jnp.stack([out[0], out[1]], axis=-1)
 
 
-def _beam_native_kernel(qn_ref, eye_ref, wh_ref, wl_ref, out_ref,
-                        x2_scr, *, a, p, b, k1n, kg):
+def _beam_native_kernel(qn_ref, eye_ref, w2_ref, out_ref,
+                        x2_scr, *, a, p, b, k1n, kg, nb):
     """Beamform one (k2-plane, k1-group) straight from the fused
     F-engine's native layout.
 
@@ -116,9 +116,15 @@ def _beam_native_kernel(qn_ref, eye_ref, wh_ref, wl_ref, out_ref,
     round-trips HBM for the (a,p,b,K)->(K,..) transpose that made the
     XLA beam path input-relayout-bound.  Per (k1, pol) the beam product
     is the stacked-real matmul ``[yr; yi] = [[wr,-wi],[wi,wr]] @
-    [xr; xi]`` with hi/lo-bf16-split weights (two MXU passes, fp32
-    accumulation — same ~16-bit effective weight mantissa as the wire
-    kernel above)."""
+    [xr; xi]`` with hi/lo-bf16-split weights and fp32 accumulation
+    (~16-bit effective weight mantissa, as the wire kernel above).
+
+    MXU-row-occupancy lesson (measured): an MXU pass costs the same
+    whether it fills 32 rows or 128, so the hi and lo weight tables
+    are STACKED into one (4nb, 2a) operand — one pass at doubled row
+    fill instead of two at 2nb = 32 rows — and the split-add happens on
+    the fp32 outputs (bitwise identical: each output element is still
+    sum_hi + sum_lo after full contractions)."""
     g = pl.program_id(1)
 
     @pl.when(g == 0)
@@ -134,17 +140,14 @@ def _beam_native_kernel(qn_ref, eye_ref, wh_ref, wl_ref, out_ref,
         zb = z.astype(jnp.bfloat16)                  # exact: int8 range
         for k1 in range(kg):
             a2 = zb[k1].reshape(2 * a, b)
-
-            def dot(w):
-                return jax.lax.dot_general(
-                    w, a2, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-
-            out_ref[0, k1, pi] = dot(wh_ref[0, k1]) + dot(wl_ref[0, k1])
+            y2 = jax.lax.dot_general(
+                w2_ref[0, k1], a2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (4nb, b)
+            out_ref[0, k1, pi] = y2[:2 * nb] + y2[2 * nb:]
 
 
 def beamform_native(qn: jax.Array, weights: jax.Array,
-                    impl: str = "auto") -> jax.Array:
+                    impl: str = "auto", _kg: int = None) -> jax.Array:
     """Coherent beams STRAIGHT from the fused F-engine's native plane
     layout ``qn: (a, p, m2, 2, b, k1n)`` int8 (no materialised
     corner-turn; channel ``k = k2 + m2*k1``).  ``weights: (beam, a, K,
@@ -179,16 +182,25 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
     ], axis=2)                                   # (m2, k1n, 2nb, 2a)
     wh = w2.astype(jnp.bfloat16)
     wl = (w2 - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+    # hi/lo stacked on the ROW axis: one (4nb, 2a) MXU pass per (k1,
+    # pol) at doubled row occupancy (see kernel docstring)
+    w2t = jnp.concatenate([wh, wl], axis=2)      # (m2, k1n, 4nb, 2a)
     eye = jnp.asarray(np.eye(k1n, dtype=np.float32), jnp.bfloat16)
-    # scale the k1 group down for long integration tiles: the per-group
-    # z temp (kg, 2, a, b) fp32 and output block are kg*b-linear
-    kg = max(1, min(k1n // 4, (k1n // 4) * 256 // b))
-    while k1n % kg:
-        kg -= 1
+    # k1 group: the z relayout temp (kg, 2, a, b) fp32 is kg*b-linear;
+    # larger kg = taller relayout M (less MXU row waste) — _kg
+    # overrides for on-chip sweeps
+    if _kg is None:
+        kg = max(1, min(k1n // 4, (k1n // 4) * 256 // b))
+        while k1n % kg:
+            kg -= 1
+    else:
+        if k1n % _kg:
+            raise ValueError(f"_kg={_kg} must divide k1n={k1n}")
+        kg = _kg
     qn2 = qn.reshape(a * p, m2, 2, b, k1n)
     out = pl.pallas_call(
         functools.partial(_beam_native_kernel, a=a, p=p, b=b, k1n=k1n,
-                          kg=kg),
+                          kg=kg, nb=nb),
         grid=(m2, k1n // kg),
         in_specs=[
             pl.BlockSpec((a * p, 1, 2, b, k1n),
@@ -196,10 +208,7 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kg, k1n), lambda k2, g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kg, 2 * nb, 2 * a),
-                         lambda k2, g: (k2, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kg, 2 * nb, 2 * a),
+            pl.BlockSpec((1, kg, 4 * nb, 2 * a),
                          lambda k2, g: (k2, g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -212,7 +221,7 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(rimpl == "pallas_interpret"),
-    )(qn2, eye, wh, wl)
+    )(qn2, eye, w2t)
     # (m2, k1n, p, [yr;yi](2, nb), b) -> wire (nb, p, b, k, 2)
     out6 = out.reshape(m2, k1n, p, 2, nb, b)
     return out6.transpose(4, 2, 5, 1, 0, 3).reshape(nb, p, b, k, 2)
