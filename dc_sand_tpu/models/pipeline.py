@@ -128,6 +128,10 @@ def fx_channel_perm(cfg: ChainConfig, impl: str, mesh=None):
                                                native_channel_perm)
     if mode_for(cfg) != "fx" or not cfg.apply_requant:
         return None
+    if cfg.time_shards > 1:
+        # the SP fx step consumes the wire layout (each time shard's
+        # F-engine decodes before the corner-turn) — natural order
+        return None
     if not _fused_capable(impl):
         return None
     if not fused_native_ok(cfg.n_chans, cfg.n_taps,
@@ -148,8 +152,15 @@ def zero_vis_acc(cfg: ChainConfig) -> jnp.ndarray:
     per chunk; other modes carry a rank-1 dummy."""
     from dc_sand_tpu.ops.xcorr import acc_shape
     if mode_for(cfg) == "fx":
-        return jnp.zeros(acc_shape(cfg.n_ants, cfg.n_pols, cfg.n_chans),
-                         jnp.int32)
+        shape = acc_shape(cfg.n_ants, cfg.n_pols, cfg.n_chans)
+        if cfg.time_shards > 1:
+            # SP fx: one partial accumulator per time shard (sharded
+            # (time, fx) — each shard integrates its own stream
+            # segment); dump extraction sums over axis 0, so the
+            # all-reduce over time rides the dump cadence, not the
+            # chunk cadence
+            return jnp.zeros((cfg.time_shards,) + shape, jnp.int32)
+        return jnp.zeros(shape, jnp.int32)
     return jnp.zeros((1,), jnp.int32)
 
 
@@ -205,10 +216,6 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
         if mode != "beam":
             raise ValueError("beam_parallel needs beam mode "
                              f"(n_beams > 0, got mode={mode})")
-        if cfg.time_shards > 1:
-            raise ValueError("beam_parallel shards beams on the fx "
-                             "axis; combine with time_shards is not "
-                             "supported")
         if mesh is not None and cfg.n_beams % mesh.shape[FX_AXIS]:
             raise ValueError(
                 f"beam_parallel needs n_beams ({cfg.n_beams}) divisible "
@@ -375,7 +382,8 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
 def _make_sp_step(cfg: ChainConfig, window, *, mesh, impl: str,
                   donate: bool):
     """Sequence-parallel streaming step: the sample stream sharded over
-    the ``time`` mesh axis (SURVEY.md §5 long-context row, first-class).
+    the ``time`` mesh axis (SURVEY.md §5 long-context row, first-class),
+    COMPOSED with the ``fx`` axis of the same 2D mesh.
 
     Each chunk splits into ``time_shards`` contiguous segments.  Shard i
     prepends the overlap-save halo from shard i-1 (one ring ``ppermute``
@@ -386,20 +394,40 @@ def _make_sp_step(cfg: ChainConfig, window, *, mesh, impl: str,
     round-1's one-shot ``make_time_sharded_fengine`` re-zeroed history
     every call).
 
-    Same signature/carry as :func:`make_step`; supports the fengine and
-    beam modes (FX shards antennas/channels on the fx axis instead).
+    The fx axis composes per mode (SURVEY.md §2.3 parallelism table —
+    these are the SP x DP / SP x TP / SP x EP products):
+
+    * ``fengine``: antennas sharded over fx (SP x DP) — each device
+      channelizes a (antenna-subset, time-segment) tile.
+    * ``beam``: antennas sharded over fx; partial beams finish with a
+      psum over fx per time shard — or, with ``cfg.beam_parallel``, a
+      ``psum_scatter`` that leaves each device a fully-reduced 1/N beam
+      subset of its time segment (SP x EP).
+    * ``fx``: antennas sharded over fx before the corner-turn, channels
+      after (SP x TP).  Each time shard integrates its stream segment
+      into its OWN partial accumulator — the carry gains a leading
+      time axis, sharded (time, fx) — and the dump-time extraction sums
+      over time shards, so the cross-shard all-reduce rides the dump
+      cadence, not the chunk cadence.
     """
     from dc_sand_tpu.parallel import TIME_AXIS
 
     mode = mode_for(cfg)
-    if mode == "fx":
-        raise ValueError("time_shards applies to the F-engine/beam "
-                         "modes; the FX correlator shards the fx axis")
     if mesh is None or TIME_AXIS not in mesh.shape \
             or mesh.shape[TIME_AXIS] != cfg.time_shards:
         raise ValueError(
             f"SP mode needs a mesh with a {cfg.time_shards}-way "
             f"'{TIME_AXIS}' axis (build_mesh(time_shards=...))")
+    fx_n = mesh.shape.get(FX_AXIS, 1)
+    if cfg.n_ants % fx_n:
+        raise ValueError(
+            f"n_ants ({cfg.n_ants}) must divide over the fx axis "
+            f"({fx_n}) when composing time_shards with an fx mesh")
+    if mode == "fx" and cfg.n_chans % fx_n:
+        raise ValueError(
+            f"n_chans ({cfg.n_chans}) must divide over the fx axis "
+            f"({fx_n}) for the SP fx corner-turn")
+    beam_parallel = bool(cfg.beam_parallel) and mode == "beam"
     taps, n_chans = cfg.n_taps, cfg.n_chans
     quantized = cfg.apply_requant
     halo = cfg.history_len
@@ -411,7 +439,7 @@ def _make_sp_step(cfg: ChainConfig, window, *, mesh, impl: str,
 
     def step(history, vis_acc, chunk, coarse, frac, phase, gains,
              weights, reset):
-        # history/chunk/frac/phase arrive shard-local (time axis)
+        # history/chunk/frac/phase arrive shard-local (fx x time axes)
         idx = jax.lax.axis_index(TIME_AXIS)
         tail = chunk[..., -halo:]
         ring = [(i, (i + 1) % n) for i in range(n)]
@@ -430,8 +458,29 @@ def _make_sp_step(cfg: ChainConfig, window, *, mesh, impl: str,
         outputs = {}
         if mode == "fengine":
             outputs["spectra"] = q
+        elif mode == "fx":
+            # corner-turn over fx WITHIN this time shard: local antennas
+            # x all channels -> all antennas x local channels; then the
+            # in-place CMAC integrates into this time shard's partial
+            # block accumulator (leading axis of the carry)
+            x_impl = {"jnp": "jnp",
+                      "fused_interpret": "pallas_interpret"}.get(impl,
+                                                                 "auto")
+            qk = jnp.moveaxis(corner_turn_all_to_all(q, FX_AXIS), 3, 0)
+            base = jax.lax.cond(reset, jnp.zeros_like, lambda a_: a_,
+                                vis_acc)
+            vis_acc = ops.xcorr_accumulate(base[0], qk,
+                                           impl=x_impl)[None]
         else:  # beam
             coh = ops.beamform(q, weights)
+            if fx_n > 1 or beam_parallel:
+                if beam_parallel:
+                    # SP x EP: fully-reduced 1/N beam subset per device
+                    # (same psum_scatter as the non-SP EP path)
+                    coh = jax.lax.psum_scatter(
+                        coh, FX_AXIS, scatter_dimension=0, tiled=True)
+                else:
+                    coh = jax.lax.psum(coh, FX_AXIS)
             if cfg.beam_stokes:
                 # detection on the float beams, per time shard (purely
                 # elementwise over the time-sharded spectra axis)
@@ -442,22 +491,32 @@ def _make_sp_step(cfg: ChainConfig, window, *, mesh, impl: str,
                 ).astype(jnp.int8)
             outputs["beams"] = coh
             if cfg.incoherent_beam:
-                outputs["incoherent"] = ops.incoherent_sum(q)
+                inc = ops.incoherent_sum(q)
+                if fx_n > 1:
+                    inc = jax.lax.psum(inc, FX_AXIS)
+                outputs["incoherent"] = inc
         return new_history, vis_acc, outputs
 
-    t = P(None, None, TIME_AXIS)     # (a, p, time-sharded samples)
+    # (a, p, samples): antennas sharded over fx, samples over time
+    t = P(FX_AXIS, None, TIME_AXIS)
+    vis_spec = P(TIME_AXIS, FX_AXIS) if mode == "fx" else P(None)
+    bspec = (P(FX_AXIS, None, TIME_AXIS) if beam_parallel
+             else P(None, None, TIME_AXIS))
     if mode == "fengine":
         out_sp = {"spectra": t}
+    elif mode == "fx":
+        out_sp = {}
     else:
-        out_sp = {"beams": t}
+        out_sp = {"beams": bspec}
         if cfg.beam_stokes:
-            out_sp["stokes"] = t     # (beam, 4, b-sharded, k)
+            out_sp["stokes"] = bspec   # (beam, 4, b-sharded, k)
         if cfg.incoherent_beam:
             out_sp["incoherent"] = P(None, TIME_AXIS)
     fn = _shard_map(
         step, mesh=mesh,
-        in_specs=(t, P(None), t, P(), t, t, P(), P(), P()),
-        out_specs=(t, P(None), out_sp),
+        in_specs=(t, vis_spec, t, P(), t, t, P(), P(None, FX_AXIS),
+                  P()),
+        out_specs=(t, vis_spec, out_sp),
         check_vma=False,
     )
     donate_argnums = (0, 1) if donate else ()

@@ -151,14 +151,19 @@ class FXRunner:
             # per dump).
             from dc_sand_tpu import ops as _ops
             perm = fx_channel_perm(cfg, impl, mesh)
+            # SP fx carries one partial accumulator per time shard
+            # (leading axis); the cross-shard sum rides the dump
+            # cadence here, not the chunk cadence
+            _pre = ((lambda acc: acc.sum(axis=0))
+                    if cfg.time_shards > 1 else (lambda acc: acc))
             if perm is None:
                 def _ex(acc):
-                    return _ops.extract_vis(acc, a, p)
+                    return _ops.extract_vis(_pre(acc), a, p)
             else:
                 perm_j = jnp.asarray(perm)
 
                 def _ex(acc):
-                    return _ops.extract_vis(acc, a, p)[..., perm_j, :]
+                    return _ops.extract_vis(_pre(acc), a, p)[..., perm_j, :]
             if self._mp:
                 # dump-time all-gather: every host gets the full
                 # visibility set (np.asarray needs full addressability;

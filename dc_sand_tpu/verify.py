@@ -103,10 +103,13 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
         cfg = cfg.replace(n_spectra_per_acc=min(cfg.n_spectra_per_acc,
                                                 n_spectra_per_acc))
     if time_shards > 1:
-        # SP mode: each time shard needs >= (taps-1) spectra of halo
+        # SP mode: each time shard needs >= (taps-1) spectra of halo;
+        # keep the dump window a multiple of the (possibly raised)
+        # chunk so the fx-mode cadence guard below still holds
+        spc = max(cfg.spectra_per_chunk, time_shards * cfg.n_taps)
+        spa = -(-cfg.n_spectra_per_acc // spc) * spc
         cfg = cfg.replace(time_shards=time_shards,
-                          spectra_per_chunk=max(cfg.spectra_per_chunk,
-                                                time_shards * cfg.n_taps))
+                          spectra_per_chunk=spc, n_spectra_per_acc=spa)
     if beam_parallel:
         # EP mode (beam-sharded B-engine, psum_scatter reduction)
         cfg = cfg.replace(beam_parallel=True)

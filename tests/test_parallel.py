@@ -366,14 +366,149 @@ class TestSPStreamingMode:
                                        ref[c]["stokes"],
                                        rtol=1e-6, atol=1e-4)
 
-    def test_sp_rejects_fx_mode(self):
+    def test_sp_fx_dumps_bitwise(self):
+        """SP x TP: the fx correlator composed with time sharding on a
+        (time=2, fx=4) mesh — antennas sharded over fx before the
+        corner-turn, channels after, stream segments over time; each
+        time shard integrates its own partial accumulator and the dump
+        extraction sums them, so dumps equal the unsharded runner
+        BITWISE (int8 F-engine output + exact int32 CMAC)."""
+        from dc_sand_tpu.config import ChainConfig
+        from dc_sand_tpu.runtime import FXRunner
+        d_t = 2
+        mesh = build_mesh(n_devices=8, time_shards=d_t)   # (2, 4)
+        base = dict(name="t", n_ants=4, n_pols=2, n_chans=N_CHANS,
+                    n_taps=TAPS, spectra_per_chunk=8,
+                    n_spectra_per_acc=16, run_xengine=True,
+                    apply_delay=True, apply_requant=True)
+        n_chunks = 4
+        stream = _noise_int8(
+            (4, 2, n_chunks * 8 * M), seed=90)
+
+        def run(cfg, mesh_):
+            r = FXRunner(cfg, pfb_window(TAPS, M), mesh=mesh_,
+                         impl="jnp")
+            dumps, _ = r.run(
+                lambda i: stream[..., i * cfg.chunk_samples:
+                                 (i + 1) * cfg.chunk_samples], n_chunks)
+            return dumps
+
+        sp = run(ChainConfig(time_shards=d_t, **base), mesh)
+        ref = run(ChainConfig(**base), None)
+        assert len(sp) == len(ref) == 2
+        for ds, dr in zip(sp, ref):
+            assert np.any(dr.vis)
+            np.testing.assert_array_equal(ds.vis, dr.vis)
+            assert ds.n_spectra == dr.n_spectra
+
+    def test_sp_ep_beam(self):
+        """SP x EP: beam_parallel composed with time sharding — beams
+        psum_scattered over fx per time shard; matches the unsharded
+        beam step."""
+        from dc_sand_tpu.config import ChainConfig
+        from dc_sand_tpu.runtime import FXRunner
+        mesh = build_mesh(n_devices=8, time_shards=2)   # (2, 4)
+        base = dict(name="t", n_ants=4, n_pols=2, n_chans=N_CHANS,
+                    n_taps=TAPS, spectra_per_chunk=8, n_beams=4,
+                    apply_delay=True, apply_requant=True,
+                    incoherent_beam=True, beam_stokes=True)
+        rng = np.random.default_rng(91)
+        wts = rng.normal(size=(4, 4, N_CHANS, 2)).astype(np.float32)
+        stream = _noise_int8((4, 2, 2 * 8 * M), seed=92)
+
+        def run(cfg, mesh_):
+            outs = []
+            r = FXRunner(cfg, pfb_window(TAPS, M), weights=wts,
+                         mesh=mesh_, impl="jnp")
+            r.run(lambda i: stream[..., i * cfg.chunk_samples:
+                                   (i + 1) * cfg.chunk_samples], 2,
+                  on_output=lambda i, o: outs.append(o))
+            return outs
+
+        sp = run(ChainConfig(time_shards=2, beam_parallel=True, **base),
+                 mesh)
+        ref = run(ChainConfig(**base), None)
+        for c in range(2):
+            # the 4-way psum_scatter reduces in a different order than
+            # the unsharded antenna sum: int8 beams may differ 1 LSB at
+            # quantisation boundaries, stokes products (near-cancelling
+            # Q/U/V differences of large squares) carry the fp32 noise
+            np.testing.assert_allclose(np.asarray(sp[c]["beams"]),
+                                       np.asarray(ref[c]["beams"]),
+                                       atol=1)
+            np.testing.assert_allclose(np.asarray(sp[c]["stokes"]),
+                                       np.asarray(ref[c]["stokes"]),
+                                       rtol=1e-3, atol=0.5)
+            np.testing.assert_allclose(np.asarray(sp[c]["incoherent"]),
+                                       np.asarray(ref[c]["incoherent"]),
+                                       rtol=1e-5, atol=1e-4)
+
+    def test_sp_fengine_2d_mesh(self):
+        """SP x DP: antennas sharded over fx AND time over the stream on
+        the same 2D mesh — spectra bitwise vs unsharded."""
+        from dc_sand_tpu.config import ChainConfig
+        mesh = build_mesh(n_devices=8, time_shards=2)   # (2, 4)
+        base = dict(name="t", n_ants=4, n_pols=2, n_chans=N_CHANS,
+                    n_taps=TAPS, spectra_per_chunk=8,
+                    apply_delay=True, apply_requant=True)
+        n_chunks = 2
+        stream = _noise_int8((4, 2, n_chunks * 8 * M), seed=93)
+        sp = self._run(ChainConfig(time_shards=2, **base), mesh,
+                       stream, n_chunks)
+        ref = self._run(ChainConfig(**base), None, stream, n_chunks)
+        for c in range(n_chunks):
+            np.testing.assert_array_equal(sp[c]["spectra"],
+                                          ref[c]["spectra"])
+
+    def test_sp_fx_run_batched_and_resume(self):
+        """The SP fx composition rides the whole runtime surface: the
+        scan-window batched path and checkpoint/resume both reproduce
+        the streaming dumps bitwise (the per-time-shard partial
+        accumulators are part of the carried/checkpointed state)."""
+        import tempfile, os
+        from dc_sand_tpu.config import ChainConfig
+        from dc_sand_tpu.runtime import FXRunner
+        from dc_sand_tpu.runtime.checkpoint import save_state, load_state
+        mesh = build_mesh(n_devices=8, time_shards=2)
+        cfg = ChainConfig(name="t", n_ants=4, n_pols=2, n_chans=N_CHANS,
+                          n_taps=TAPS, spectra_per_chunk=8,
+                          n_spectra_per_acc=32, run_xengine=True,
+                          apply_delay=True, apply_requant=True,
+                          time_shards=2)
+        w = pfb_window(TAPS, M)
+        stream = _noise_int8((4, 2, 8 * cfg.chunk_samples), seed=94)
+
+        def src(i):
+            return stream[..., i * cfg.chunk_samples:
+                          (i + 1) * cfg.chunk_samples]
+
+        r0 = FXRunner(cfg, w, mesh=mesh, impl="jnp")
+        d0, _ = r0.run(src, 8)
+        # batched scan path
+        rb = FXRunner(cfg, w, mesh=mesh, impl="jnp")
+        db, _ = rb.run_batched(src, 8)
+        assert len(d0) == len(db) == 2
+        for a, b in zip(d0, db):
+            np.testing.assert_array_equal(a.vis, b.vis)
+        # checkpoint mid-window, resume in a fresh runner
+        r1 = FXRunner(cfg, w, mesh=mesh, impl="jnp")
+        r1.run(src, 3)
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "ck.npz")
+            save_state(r1, p)
+            r2 = FXRunner(cfg, w, mesh=mesh, impl="jnp")
+            load_state(r2, p)
+            d2, _ = r2.run(src, 5)
+        np.testing.assert_array_equal(d0[-1].vis, d2[-1].vis)
+
+    def test_sp_rejects_indivisible_ants(self):
         from dc_sand_tpu.config import ChainConfig
         from dc_sand_tpu.models.pipeline import make_step
-        mesh = build_mesh(n_devices=2, time_shards=2)
-        cfg = ChainConfig(name="t", n_ants=2, n_pols=1, n_chans=N_CHANS,
+        mesh = build_mesh(n_devices=8, time_shards=2)   # fx axis = 4
+        cfg = ChainConfig(name="t", n_ants=3, n_pols=1, n_chans=N_CHANS,
                           n_taps=TAPS, spectra_per_chunk=8,
-                          run_xengine=True, time_shards=2)
-        with pytest.raises(ValueError, match="fx axis"):
+                          time_shards=2)
+        with pytest.raises(ValueError, match="divide over the fx"):
             make_step(cfg, pfb_window(TAPS, M), mesh=mesh, impl="jnp")
 
 
