@@ -186,13 +186,26 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
     # pol) at doubled row occupancy (see kernel docstring)
     w2t = jnp.concatenate([wh, wl], axis=2)      # (m2, k1n, 4nb, 2a)
     eye = jnp.asarray(np.eye(k1n, dtype=np.float32), jnp.bfloat16)
-    # k1 group: the z relayout temp (kg, 2, a, b) fp32 is kg*b-linear;
-    # larger kg = taller relayout M (less MXU row waste) — _kg
-    # overrides for on-chip sweeps
+    # k1 group: larger kg = fewer grid steps and taller relayout M.
+    # Measured on-chip at the contract shape (16 beams, 64 ants, 4k
+    # chans; bench/results/beamform_native_kg_*): the FULL k1 plane per
+    # grid step (kg = k1n = 128) ran 6.81 TF vs 5.77 at the old 256-row
+    # heuristic (kg = 32) — the per-step fixed cost dominates once the
+    # MXU rows are filled.  Default: the largest legal divisor of k1n
+    # whose kg-linear VMEM residents (out block, stacked hi/lo weights,
+    # per-pol relayout temporaries) fit a 48 MB budget alongside the
+    # fixed x2 scratch + double-buffered qn block; _kg overrides for
+    # on-chip sweeps.
     if _kg is None:
-        kg = max(1, min(k1n // 4, (k1n // 4) * 256 // b))
-        while k1n % kg:
-            kg -= 1
+        per_kg = (p * 2 * nb * b * 4      # out block (fp32)
+                  + 4 * nb * 2 * a * 2    # w2t block (bf16)
+                  + 2 * a * b * 6)        # z fp32 dot temp + bf16 cast
+        kg = 8
+        for d in range(k1n, 7, -1):
+            if k1n % d == 0 and (d % 8 == 0 or d == k1n) \
+                    and d * per_kg <= 48 * 1024 * 1024:
+                kg = d
+                break
     else:
         if k1n % _kg:
             raise ValueError(f"_kg={_kg} must divide k1n={k1n}")
