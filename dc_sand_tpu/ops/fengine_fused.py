@@ -883,6 +883,11 @@ def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
         raise ValueError(f"unknown fir_mode {fir_mode!r}")
     if z_mode not in (None, "scratch", "concat"):
         raise ValueError(f"unknown z_mode {z_mode!r}")
+    # default SETTLED on-chip at the 4k contract shape (r3 probe,
+    # scripts/sweep_r3_perf.py zmode): scratch 18.21-18.31 Gsamp/s vs
+    # concat 18.05-18.21 across groups {1,2,4} — the +0.7% concat lead
+    # from the small 4x256 probe shape did NOT hold where it matters,
+    # so the VMEM Z-scratch staging stays the default.
     z_mode = z_mode or "scratch"
     k1n = m1v // 2
     assert m2 * k1n == n_chans
