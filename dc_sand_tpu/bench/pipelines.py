@@ -240,9 +240,9 @@ def bench_fx_step(n_ants: int = 64, n_pols: int = 2, n_chans: int = 1024,
         name="fx_step_64ant",
         metric="FX-step samples/s/chip", value=samples / wall,
         unit="samp/s", wall_s=wall,
-        # int8 stream in + two-block accumulator (k, 2, ap, ap) int32
-        # in/out (half the round-2 (2ap)^2 carry)
-        bytes_moved=samples + 2 * k * 2 * (a * p) ** 2 * 4,
+        # int8 stream in + packed-triangle accumulator (k, ap, ap)
+        # int32 in/out (quarter the round-2 (2ap)^2 carry)
+        bytes_moved=samples + 2 * k * (a * p) ** 2 * 4,
         extra={"n_ants": a, "n_chans": k, "n_spectra": b,
                "vs_realtime_floor": samples / wall / REALTIME_FLOOR_PER_CHIP},
     ).finish()

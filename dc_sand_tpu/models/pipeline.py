@@ -147,9 +147,10 @@ def fx_channel_perm(cfg: ChainConfig, impl: str, mesh=None):
 def zero_vis_acc(cfg: ChainConfig) -> jnp.ndarray:
     """Zeroed X-engine integration carry for ``make_step``.
 
-    fx mode carries the (k, 2, ap, ap) int32 two-block accumulator
-    (ops.xcorr.acc_shape) — baselines are extracted once per dump, not
-    per chunk; other modes carry a rank-1 dummy."""
+    fx mode carries the (k, ap, ap) int32 packed-triangle accumulator
+    (ops.xcorr.acc_shape: vr upper / vi lower) — baselines are
+    extracted once per dump, not per chunk; other modes carry a rank-1
+    dummy."""
     from dc_sand_tpu.ops.xcorr import acc_shape
     if mode_for(cfg) == "fx":
         shape = acc_shape(cfg.n_ants, cfg.n_pols, cfg.n_chans)
@@ -283,7 +284,7 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
         if mode == "fengine":
             outputs["spectra"] = q
         elif mode == "fx":
-            # integration carries the two-block [vr; vi] matrix; extraction to
+            # integration carries the packed-triangle plane; extraction to
             # baselines happens once per dump in the runner (C8/C9 —
             # the per-chunk gather round-1 shipped contradicted
             # ops/xcorr.py's own amortisation docstring)
@@ -351,7 +352,7 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
         fn = step
     else:
         a = P(FX_AXIS)
-        # fx mode carries the (k, 2, ap, ap) two-block accumulator sharded on
+        # fx mode carries the (k, ap, ap) packed accumulator sharded on
         # channels (axis 0); other modes carry a rank-1 dummy
         vis_spec = P(FX_AXIS) if mode == "fx" else P(None)
         # EP mode leaves beams (and the per-beam Stokes products)

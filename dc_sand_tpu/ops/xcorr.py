@@ -17,15 +17,22 @@ integration over the time axis happens *inside* the matmul's contraction
 at full int32 precision.
 
 The streaming path (:func:`xcorr_accumulate`, used by ``make_step``)
-carries the TWO consumed blocks (k, 2, ap, ap) = [vr; vi] as the
-integration accumulator (see :func:`_vr_vi_operands` — same MACs as the
-full (2ap, 2ap) block matrix, half the accumulator HBM traffic) and
-extracts the baseline triangle ONCE per accumulator dump
-(:func:`extract_baselines` in the runner), not per chunk — per SURVEY.md
-C8/C9.  On production shapes a Pallas kernel accumulates in place
-(``input_output_aliases``): per grid step the int8 spectra tile and the
-int32 accumulator tile meet in VMEM, so HBM sees the accumulator exactly
-once per chunk instead of once for the product plus once for the add.
+carries ONE PACKED (k, ap, ap) int32 plane as the integration
+accumulator: vr = Ar Ar^T + Ai Ai^T is SYMMETRIC and
+vi = Ai Ar^T - Ar Ai^T is ANTISYMMETRIC with a zero diagonal, so the
+upper triangle (incl. diagonal) holds vr and the strict lower triangle
+holds vi with zero information loss (see :func:`acc_shape`).  That is
+half the round-3 two-block [vr; vi] carry — and the accumulator HBM
+read+write per chunk was the MEASURED bottleneck of the native CMAC
+kernel (ablation at the 64-ant 4k shape: 4.9 ms of the 6.0 ms call was
+DMA) — plus half the checkpoint and half the SP cross-shard dump-sum.
+Baselines are extracted (and the triangles unpacked) ONCE per
+accumulator dump (:func:`extract_vis` in the runner), not per chunk —
+per SURVEY.md C8/C9.  On production shapes a Pallas kernel accumulates
+in place (``input_output_aliases``): per grid step the int8 spectra
+tile and the int32 accumulator tile meet in VMEM, so HBM sees the
+accumulator exactly once per chunk instead of once for the product plus
+once for the add.
 """
 
 from __future__ import annotations
@@ -105,20 +112,48 @@ def extract_baselines(full: jax.Array, n_ants: int,
 
 def acc_shape(n_ants: int, n_pols: int, n_chans: int) -> tuple:
     """Shape of the streaming X-engine integration accumulator:
-    ``(k, 2, ap, ap)`` int32 holding the two blocks that downstream
-    extraction actually consumes — ``acc[:, 0] = vr = ArAr^T + AiAi^T``
-    and ``acc[:, 1] = vi = AiAr^T - ArAi^T`` (see
-    :func:`_vr_vi_operands`).  Half the round-2 (k, 2ap, 2ap) carry:
-    half the HBM read+write per chunk, half the checkpoint."""
+    ``(k, ap, ap)`` int32 — ONE packed plane per channel.
+
+    ``vr = ArAr^T + AiAi^T`` is symmetric and ``vi = AiAr^T - ArAi^T``
+    is antisymmetric with a zero diagonal (``vi[i,i] = sum ai*ar -
+    sum ar*ai = 0``), so one plane carries both exactly:
+
+        acc[k, r, c] = vr[r, c]   for r <= c   (incl. the diagonal)
+        acc[k, r, c] = vi[r, c]   for r >  c
+
+    and :func:`extract_vis` reconstructs ``vr[r, c] = acc[c, r]`` /
+    ``vi[r, c] = -acc[c, r]`` for the other triangle at dump cadence.
+    Packing is an elementwise int32 select on the MXU dot outputs —
+    exact — and int32 addition keeps the accumulate linear, so the SP
+    cross-shard dump sum works on the packed form unchanged.  Quarter
+    the round-2 (k, 2ap, 2ap) carry: the accumulator HBM read+write per
+    chunk (the measured native-CMAC bottleneck), the checkpoint, and
+    the SP dump-sum wire all shrink with it."""
     ap = n_ants * n_pols
-    return (n_chans, 2, ap, ap)
+    return (n_chans, ap, ap)
+
+
+def _pack_mask(ap: int, kernel: bool = False):
+    """Boolean (ap, ap) upper-triangle-inclusive mask: True where the
+    packed plane holds vr (r <= c), False where it holds vi (r > c).
+    ``kernel=True`` builds it from ``broadcasted_iota`` (Mosaic needs
+    >=2-D iota; also keeps the mask a traced value inside Pallas)."""
+    if kernel:
+        r = jax.lax.broadcasted_iota(jnp.int32, (ap, ap), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (ap, ap), 1)
+        return r <= c
+    idx = np.arange(ap)
+    return jnp.asarray(idx[:, None] <= idx[None, :])
 
 
 def _cmac_kernel(q_ref, acc_ref, out_ref, *, kt, ap):
-    # q_ref: (kt, 2ap, b) int8; acc_ref/out_ref: (kt, 2, ap, ap) int32
-    # (aliased, accumulated in place in VMEM).  Four (ap, b) s8 dots
-    # with the vr-add / vi-sub in int32: Mosaic has no int8 vector
-    # subtraction, so the -Ai column-stacked form can't lower.
+    # q_ref: (kt, 2ap, b) int8; acc_ref/out_ref: (kt, ap, ap) int32
+    # packed planes (aliased, accumulated in place in VMEM).  Four
+    # (ap, b) s8 dots with the vr-add / vi-sub in int32 (Mosaic has no
+    # int8 vector subtraction, so the -Ai column-stacked form can't
+    # lower), then one select packs vr into the upper triangle and vi
+    # below (see acc_shape).
+    mask = _pack_mask(ap, kernel=True)
     for c in range(kt):
         ar, ai = q_ref[c, :ap], q_ref[c, ap:]
 
@@ -127,13 +162,14 @@ def _cmac_kernel(q_ref, acc_ref, out_ref, *, kt, ap):
                 x, y, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
 
-        out_ref[c, 0] = acc_ref[c, 0] + dot(ar, ar) + dot(ai, ai)
-        out_ref[c, 1] = acc_ref[c, 1] + dot(ai, ar) - dot(ar, ai)
+        dr = dot(ar, ar) + dot(ai, ai)
+        di = dot(ai, ar) - dot(ar, ai)
+        out_ref[c] = acc_ref[c] + jnp.where(mask, dr, di)
 
 
 def _xcorr_accumulate_pallas(acc: jax.Array, a2: jax.Array,
                              interpret: bool = False) -> jax.Array:
-    """acc (k, 2, ap, ap) int32 += [vr; vi] blocks per channel, in place.
+    """acc (k, ap, ap) int32 += packed [vr|vi] plane per channel, in place.
 
     ``a2: (k, 2ap, b) int8`` stacked [Ar; Ai].  Channel tiles of ``kt``
     ride the grid; the accumulator tile is read, bumped and written once
@@ -160,12 +196,12 @@ def _xcorr_accumulate_pallas(acc: jax.Array, a2: jax.Array,
         in_specs=[
             pl.BlockSpec((kt, tap, b), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt, 2, ap, ap), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((kt, ap, ap), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((kt, 2, ap, ap), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((kt, ap, ap), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, 2, ap, ap), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((k, ap, ap), jnp.int32),
         input_output_aliases={1: 0},
         interpret=interpret,
     )(a2, acc)
@@ -173,12 +209,12 @@ def _xcorr_accumulate_pallas(acc: jax.Array, a2: jax.Array,
 
 def xcorr_accumulate(acc: jax.Array, q: jax.Array,
                      impl: str = "auto") -> jax.Array:
-    """One chunk of X-engine integration: ``acc + [vr; vi]`` blocks.
+    """One chunk of X-engine integration into the packed plane.
 
-    ``acc: (k, 2, ap, ap) int32`` (see :func:`acc_shape`); ``q: (k, ant,
-    pol, b, 2) int8`` corner-turned F-engine output.  Returns the bumped
-    accumulator (same two-block layout as :func:`xcorr_full`, so
-    :func:`extract_vis` applies at dump time).
+    ``acc: (k, ap, ap) int32`` packed [vr upper | vi lower] (see
+    :func:`acc_shape`); ``q: (k, ant, pol, b, 2) int8`` corner-turned
+    F-engine output.  Returns the bumped accumulator
+    (:func:`extract_vis` unpacks at dump time).
     """
     k, n_ants, n_pols, b, _ = q.shape
     ap = n_ants * n_pols
@@ -211,7 +247,7 @@ def xcorr_accumulate_a2(acc: jax.Array, a2: jax.Array,
             x, y, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)
 
-    return acc + jnp.stack([bdot(cr, cr), bdot(cil, cir)], axis=1)
+    return acc + jnp.where(_pack_mask(ap), bdot(cr, cr), bdot(cil, cir))
 
 
 def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
@@ -239,13 +275,15 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
       kg-group (M = kg, as low as 16/128 rows) — an MXU pass costs the
       same regardless of row fill, so that wasted 7/8 of every
       identity pass and made the relayout ~4x the CMAC's tile-ops.
-    * The CMAC is the two-block form: FOUR (ap, b) s8 dots per channel
-      with the vr-add / vi-sub in int32 (see :func:`_vr_vi_operands`;
-      same MACs as the round-2 (2ap)^2 stacked-block dot, HALF the
-      accumulator HBM traffic).  The column-stacked single-dot variant
-      needs -Ai, and Mosaic has no int8 vector subtraction (arith.subi
-      on i8 fails to legalize) — the int32 subtract after the dot is
-      free by comparison.
+    * The CMAC is FOUR (ap, b) s8 dots per channel with the vr-add /
+      vi-sub in int32 (the column-stacked single-dot variant needs
+      -Ai, and Mosaic has no int8 vector subtraction — arith.subi on
+      i8 fails to legalize), then ONE select packs vr's upper triangle
+      and vi's strict lower into a single (ap, ap) plane (see
+      :func:`acc_shape`) — vr is symmetric and vi antisymmetric, so
+      this is lossless, and it HALVES the accumulator DMA, which the
+      round-3 ablation measured as the kernel's dominant cost (4.9 of
+      6.0 ms at the contract shape was DMA, not MXU).
     """
     g = pl.program_id(1)
 
@@ -276,6 +314,7 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
         # acc blocks (isolates relayout + DMA cost)
         out_ref[...] = acc_ref[...] * keep
         return
+    mask = _pack_mask(ap, kernel=True)
     zg = z_scr[pl.ds(g * kg, kg)]                  # (kg, 2, ap, b)
     for j in range(kg):
         zr, zi = zg[j, 0], zg[j, 1]
@@ -285,10 +324,9 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
                 x, y, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)  # s8xs8->s32 MXU
 
-        out_ref[0, j, 0] = (acc_ref[0, j, 0] * keep
-                            + dot(zr, zr) + dot(zi, zi))
-        out_ref[0, j, 1] = (acc_ref[0, j, 1] * keep
-                            + dot(zi, zr) - dot(zr, zi))
+        dr = dot(zr, zr) + dot(zi, zi)
+        di = dot(zi, zr) - dot(zr, zi)
+        out_ref[0, j] = acc_ref[0, j] * keep + jnp.where(mask, dr, di)
 
 
 def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
@@ -297,8 +335,8 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
     """Streaming X-engine integration STRAIGHT from the fused F-engine's
     native plane layout (no materialised corner-turn).
 
-    ``acc: (K, 2, ap, ap) int32`` in NATIVE channel order (k2-major,
-    ``K = m2 * k1n``); ``qn: (a, p, m2, 2, b, k1n) int8`` as produced by
+    ``acc: (K, ap, ap) int32`` packed planes in NATIVE channel order
+    (k2-major, ``K = m2 * k1n``); ``qn: (a, p, m2, 2, b, k1n) int8`` as produced by
     ``f_engine(..., layout="native")`` (possibly after an ``all_to_all``
     that split the m2 axis).  Bitwise-identical to building ``a2`` with
     the XLA transpose and calling :func:`xcorr_accumulate_a2`; the
@@ -340,14 +378,15 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
         return xcorr_accumulate_a2(acc, a2, impl=impl)
     # k1-group size: bounds only the per-group acc/out blocks (the
     # relayout is plane-wide into scratch regardless) and the per-step
-    # CMAC unroll; kg = 16 keeps the acc blocks at ~kg*2*ap^2*8 bytes
-    # (4.2 MB at ap=128) and the unroll at 64 dots
+    # CMAC unroll; kg = 16 keeps the packed acc blocks at
+    # ~kg*ap^2*8 bytes in+out (2.1 MB at ap=128) and the unroll at
+    # 64 dots
     kg = min(16, k1n)
     while k1n % kg:
         kg -= 1
     qn2 = qn.reshape(ap, m2, 2, b, k1n)
     eye = jnp.asarray(np.eye(k1n, dtype=np.int8))
-    acc4 = acc.reshape(m2, k1n, 2, ap, ap)
+    acc4 = acc.reshape(m2, k1n, ap, ap)
     out = pl.pallas_call(
         functools.partial(_cmac_native_kernel, ap=ap, b=b, k1n=k1n,
                           kg=kg, bt=bt, ablate=tuple(_ablate)),
@@ -359,12 +398,12 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k1n, k1n), lambda k2, g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kg, 2, ap, ap),
-                         lambda k2, g: (k2, g, 0, 0, 0),
+            pl.BlockSpec((1, kg, ap, ap),
+                         lambda k2, g: (k2, g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, kg, 2, ap, ap),
-                               lambda k2, g: (k2, g, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, kg, ap, ap),
+                               lambda k2, g: (k2, g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(acc4.shape, jnp.int32),
         scratch_shapes=[pltpu.VMEM((k1n, 2, ap, b), jnp.int8)],
@@ -377,14 +416,25 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
 
 
 def extract_vis(acc: jax.Array, n_ants: int, n_pols: int) -> jax.Array:
-    """Dump-time extraction from the streaming two-block accumulator.
+    """Dump-time extraction from the packed streaming accumulator.
 
-    ``acc: (k, 2, ap, ap) int32`` (from :func:`xcorr_accumulate`) ->
-    ``(n_bl, pi, pj, k, 2) int32`` canonical visibilities.  Runs once
-    per accumulator dump (the runner jits it), so its gather cost is
-    amortised over the whole integration window.
+    ``acc: (k, ap, ap) int32`` packed [vr upper | vi lower] (see
+    :func:`acc_shape`; from :func:`xcorr_accumulate`) ->
+    ``(n_bl, pi, pj, k, 2) int32`` canonical visibilities.  Unpacks the
+    triangles by symmetry (``vr = vr^T``, ``vi = -vi^T``, ``vi`` zero
+    diagonal) then extracts; runs once per accumulator dump (the runner
+    jits it), so the cost is amortised over the whole integration
+    window.
     """
-    full = jnp.stack([acc[:, 0], acc[:, 1]], axis=-1)
+    ap = acc.shape[-1]
+    idx = np.arange(ap)
+    upper = jnp.asarray(idx[:, None] <= idx[None, :])   # vr lives here
+    lower = jnp.asarray(idx[:, None] > idx[None, :])    # vi lives here
+    acc_t = jnp.swapaxes(acc, -1, -2)
+    vr = jnp.where(upper, acc, acc_t)
+    vi = jnp.where(lower, acc, jnp.where(upper & ~jnp.eye(
+        ap, dtype=bool), -acc_t, 0))
+    full = jnp.stack([vr, vi], axis=-1)
     return extract_baselines(full, n_ants, n_pols)
 
 

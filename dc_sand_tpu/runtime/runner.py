@@ -144,8 +144,8 @@ class FXRunner:
             self.vis_acc = self._put_full(self.vis_acc, axis=0)
         if self.mode == "fx":
             # dump-time baseline extraction (jitted once; n_ants/n_pols
-            # are static) — the accumulator itself carries the full
-            # (k, 2, ap, ap) two-block matrix between chunks.  When the step
+            # are static) — the accumulator itself carries the packed
+            # (k, ap, ap) triangle plane between chunks.  When the step
             # keeps the fused kernel's native channel order, extraction
             # also reorders channels back to natural (still only once
             # per dump).

@@ -61,13 +61,13 @@ def main() -> int:
         for z_mode in ("scratch", "concat"):
             for groups in (4, 2, 1):
                 try:
-                    r = bench_variant(16, 512, tb=64, groups=groups,
-                                      fir_mode="mxu", iters=64,
-                                      z_mode=z_mode)
+                    rate = bench_variant(16, 512, tb=64, groups=groups,
+                                         fir_mode="mxu", iters=64,
+                                         z_mode=z_mode)
+                    # bench_variant saves its own record into RESULTS
                     print(json.dumps({"z_mode": z_mode, "groups": groups,
-                                      "gsamp_s": r.value / 1e9}),
+                                      "gsamp_s": rate / 1e9}),
                           flush=True)
-                    r.save(RESULTS)
                 except Exception as e:
                     print(f"z_mode={z_mode} g={groups}: "
                           f"{type(e).__name__}: {e}", flush=True)
