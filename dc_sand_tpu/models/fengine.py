@@ -129,5 +129,10 @@ def f_engine(x: jax.Array, window: jax.Array, taps: int, n_chans: int, *,
         g = jnp.asarray(gains)
         if not jnp.iscomplexobj(g):
             g = ri2c(g)
-        return ops.requantize(spec, g)
-    return c2ri(spec)
+        res = ops.requantize(spec, g)
+    else:
+        res = c2ri(spec)
+    if layout == "wire_flat":
+        # same bytes as (..., B, K, 2) row-major; see fengine_fused
+        return res.reshape(res.shape[:-2] + (2 * n_chans,))
+    return res

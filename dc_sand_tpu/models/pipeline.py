@@ -263,7 +263,8 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
                        if cfg.apply_delay else None),
                 gains=gains if quantized else None, impl=impl,
                 stage2=cfg.stage2,
-                layout="native" if native else "wire")
+                layout=("native" if native else
+                        "wire_flat" if mode == "fengine" else "wire"))
             # back to (a, p, ...) leading dims for the shared fx/beam
             # tail below (a free leading-axis split)
             q = q.reshape(coarse.shape + q.shape[1:])
@@ -278,7 +279,9 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
                          phase=phase if cfg.apply_delay else None,
                          gains=gains if quantized else None, impl=impl,
                          stage2=cfg.stage2,
-                         layout="native" if native else "wire")
+                         layout=("native" if native else
+                                 "wire_flat" if mode == "fengine"
+                                 else "wire"))
             new_history = buf[..., chunk.shape[-1]:]
         outputs = {}
         if mode == "fengine":
@@ -451,7 +454,9 @@ def _make_sp_step(cfg: ChainConfig, window, *, mesh, impl: str,
                      frac_delay=frac if cfg.apply_delay else None,
                      phase=phase if cfg.apply_delay else None,
                      gains=gains if quantized else None, impl=impl,
-                     stage2=cfg.stage2)
+                     stage2=cfg.stage2,
+                     layout=("wire_flat" if mode == "fengine"
+                             else "wire"))
         # shard 0 received shard n-1's tail = the next chunk's carry;
         # other shards park zeros in their (dead) carry block
         new_history = jnp.where(idx == 0, halo_in,

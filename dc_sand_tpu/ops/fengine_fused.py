@@ -716,8 +716,13 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
     Falls back to the unfused ops for shapes the kernel does not tile.
 
     ``layout="wire"`` (default) decodes to natural channel order
-    ``(..., B, K, 2)`` — a full HBM transpose pass (~25% of the 4k
-    dispatch) that only the human-facing spectra consumers need.
+    ``(..., B, K, 2)`` — that array's minor dim of 2 forces a 2/128
+    lane tile, making the decode a layout-bound HBM pass (~0.43 ms of
+    the 4k dispatch vs 0.19 at copy speed).
+    ``layout="wire_flat"`` decodes the SAME bytes to ``(..., B, 2K)``
+    (k-major interleaved re/im pairs — exactly the wire form's
+    C-contiguous bytes, so host consumers ``.reshape(..., K, 2)`` for
+    free) at full copy speed; the streaming fengine mode ships this.
     ``layout="native"`` returns the kernel's own plane order
     ``(..., m2, 2, B, k1n)`` with channel ``k = k2 + m2*k1`` at
     ``[..., k2, c, b, k1]`` — the FX path consumes this directly (its
@@ -766,6 +771,8 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
         # fall back to the unfused path
         res = _fallback(x, window, taps, n_chans, frac_delay=frac_delay,
                         phase=phase, gains=gains)
+        if layout == "wire_flat":
+            return res.reshape(res.shape[:-2] + (2 * n_chans,))
         if layout == "native":
             if m2 == 0:
                 raise ValueError(
@@ -883,6 +890,8 @@ def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
         raise ValueError(f"unknown fir_mode {fir_mode!r}")
     if z_mode not in (None, "scratch", "concat"):
         raise ValueError(f"unknown z_mode {z_mode!r}")
+    if layout not in ("wire", "wire_flat", "native"):
+        raise ValueError(f"unknown layout {layout!r}")
     # default SETTLED on-chip at the 4k contract shape (r3 probe,
     # scripts/sweep_r3_perf.py zmode): scratch 18.21-18.31 Gsamp/s vs
     # concat 18.05-18.21 across groups {1,2,4} — the +0.7% concat lead
@@ -1002,6 +1011,17 @@ def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
     out5 = out.reshape(s, m2, 2, b_out, k1n)
     if layout == "native":
         return out5.reshape(lead + (m2, 2, b_out, k1n))
+    if layout == "wire_flat":
+        # same transpose, FLAT (b, 2K) output: byte-identical to wire's
+        # (b, K, 2) row-major, but the minor dim is 2*K instead of 2 —
+        # a lane-perfect tile instead of a 2/128 one.  Measured on chip
+        # (scripts/probe_decode_layout.py): the flat decode runs at
+        # full copy speed (0.19 ms vs 0.43 ms int8 / 1.0 ms f32 at the
+        # 16x512x4k shape) — the (K, 2) minor layout, not the
+        # transpose, was the cost.
+        res = out5.transpose(0, 3, 4, 1, 2).reshape(s, b_out,
+                                                    2 * n_chans)
+        return res.reshape(lead + (b_out, 2 * n_chans))
     res = out5.transpose(0, 3, 4, 1, 2).reshape(s, b_out, n_chans, 2)
     return res.reshape(lead + (b_out, n_chans, 2))
 
