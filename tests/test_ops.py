@@ -679,9 +679,67 @@ class TestFuzzFEngine:
             ref = golden.f_engine(x, w, taps, nch, **kw_g)
             out = jx_f_engine(jnp.asarray(x), w, taps, nch, impl="jnp",
                               **kw_j)
-            snr = snr_db(ref, np_ri2c(out))
-            bound = 55 if with_gains else 100  # int8 requant boundaries
-            assert snr > bound, (taps, nch, a, p, nb, with_delay,
-                                 with_gains, snr)
+            outc = np_ri2c(out)
+            snr = snr_db(ref, outc)
+            if not with_gains:
+                assert snr > 100, (taps, nch, a, p, nb, with_delay, snr)
+                return
+            # With requant the comparison is int8 vs int8, and the fp32
+            # fine-delay phasor differs from the fp64 golden by ~1e-6
+            # absolute at |v|~10 — a value that lands within that of a
+            # round-half-even boundary legitimately flips one LSB either
+            # way.  At fuzz sizes (512 samples) a single flip alone is
+            # ~51 dB, so a bare SNR bound >50 would be flaky by
+            # construction.  Certify instead that EVERY diff is a
+            # single-LSB flip whose golden *pre-round* component sits
+            # within 1e-3 of a .5 boundary (a wrong rounding mode, gain,
+            # or phase produces diffs far from boundaries / >1 LSB), and
+            # keep the >50 dB contract bound (BASELINE.json:5).
+            assert snr > 50, (taps, nch, a, p, nb, with_delay, snr)
+            d = outc - ref
+            flips = np.argwhere(np.abs(d) > 0)
+            if flips.size:
+                kw_pre = dict(kw_g)
+                g = kw_pre.pop("gains")
+                pre = golden.f_engine(x, w, taps, nch, **kw_pre) * g
+                assert np.abs(d.real).max() <= 1 and \
+                    np.abs(d.imag).max() <= 1, (taps, nch, seed, snr)
+                for i in map(tuple, flips):
+                    for comp, dd in ((pre[i].real, d[i].real),
+                                     (pre[i].imag, d[i].imag)):
+                        if dd:
+                            frac = abs(comp - np.floor(comp) - 0.5)
+                            assert frac < 1e-3, (i, comp, snr)
 
         check()
+
+    def test_boundary_flip_regression(self):
+        """Round-3 red case pinned: taps=2 nch=128 nb=4 seed=38282 with
+        delay+gains produced exactly one 1-LSB flip (golden pre-round
+        imag 7.5000011, i.e. 1.1e-6 from the .5 boundary) -> 50.78 dB.
+        The flip is irreducible fp32-phasor-vs-fp64 boundary ambiguity;
+        certify the flip-site property and the 50 dB contract bound."""
+        taps, nch, a, p, nb, seed = 2, 128, 1, 1, 4, 38282
+        m = 2 * nch
+        rng = np.random.default_rng(seed)
+        x = _noise_int8((a, p, (nb + taps - 1) * m), seed=seed)
+        w = pfb_window(taps, m)
+        fd = rng.uniform(-0.5, 0.5, (a, p, nb))
+        ph = rng.uniform(-np.pi, np.pi, (a, p, nb))
+        g = np.full(nch, 0.05) * np.exp(1j * rng.uniform(-np.pi, np.pi, nch))
+        ref = golden.f_engine(x, w, taps, nch, frac_delay=fd, phase=ph,
+                              gains=g)
+        out = jx_f_engine(jnp.asarray(x), w, taps, nch, impl="jnp",
+                          frac_delay=jnp.asarray(fd, jnp.float32),
+                          phase=jnp.asarray(ph, jnp.float32),
+                          gains=jnp.asarray(np_c2ri(g)))
+        outc = np_ri2c(out)
+        assert snr_db(ref, outc) > 50
+        d = outc - ref
+        pre = golden.f_engine(x, w, taps, nch, frac_delay=fd, phase=ph) * g
+        for i in map(tuple, np.argwhere(np.abs(d) > 0)):
+            for comp, dd in ((pre[i].real, d[i].real),
+                             (pre[i].imag, d[i].imag)):
+                if dd:
+                    assert abs(dd) <= 1, (i, dd)
+                    assert abs(comp - np.floor(comp) - 0.5) < 1e-3, (i, comp)
