@@ -40,24 +40,48 @@ def _shape_of(rec: dict) -> str:
     return ",".join(parts)
 
 
+def implausible(rec: dict) -> str:
+    """Reason a record is self-evidently invalid, or '' if it's sane.
+
+    Round 3 shipped a scaling record whose 1-dev wall had a compile
+    stall leaked into it, making the 2-dev row report efficiency 520x —
+    garbage that then poisons every later comparison in its series.
+    Weak-scaling efficiency is bounded by ~1 (a super-unitary value
+    means the baseline, not this run, is wrong)."""
+    extra = rec.get("extra") or {}
+    eff = extra.get("efficiency_vs_1dev")
+    if eff is not None and eff > 1.2:
+        return f"efficiency_vs_1dev={eff:.3g} > 1.2"
+    if rec.get("value", 0) < 0 or rec.get("wall_s", 0) < 0:
+        return "negative value/wall"
+    return ""
+
+
 def load_results(results_dir: str = "bench/results"):
     by_key = defaultdict(list)
+    rejected = []
     for path in sorted(glob.glob(os.path.join(results_dir, "*.json"))):
         try:
             with open(path) as f:
                 rec = json.loads(f.readline())
             ts = int(path.rsplit("_", 1)[1].split(".")[0])
+            why = implausible(rec)
+            if why:
+                rejected.append((path, why))
+                continue
             by_key[(rec["name"], _platform_of(rec),
                     _shape_of(rec))].append((ts, rec, path))
         except (ValueError, KeyError, IndexError):
             continue
     for key in by_key:
         by_key[key].sort(key=lambda t: t[0])
-    return by_key
+    return by_key, rejected
 
 
 def main(results_dir: str = "bench/results") -> int:
-    by_key = load_results(results_dir)
+    by_key, rejected = load_results(results_dir)
+    for path, why in rejected:
+        print(f"REJECTED {os.path.basename(path)}: {why}")
     if not by_key:
         print(f"no results under {results_dir}")
         return 0

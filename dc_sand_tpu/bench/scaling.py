@@ -97,6 +97,7 @@ def bench_scaling(max_devices: int = 8, n_ants: int = 16,
     results = []
     base_rate = None
     d = 1
+    walls = {}
     while d <= max_devices:
         if d > len(pool) or n_ants % d:
             break
@@ -115,6 +116,35 @@ def bench_scaling(max_devices: int = 8, n_ants: int = 16,
         if base_rate is None:
             base_rate = per_dev
         eff = per_dev / base_rate
+        if eff > 1.2:
+            # weak scaling cannot be >1: a super-unitary efficiency means
+            # the T(1) wall was polluted (round-3's 84feeb6 records: a
+            # compile/driver stall leaked into the 1-dev timing and the
+            # 2-dev row reported eff = 520).  Re-measure the base once;
+            # if the implausibility survives, refuse to record the sweep
+            # rather than poison the regression series.
+            walls[1] = _step_wall(
+                get_config("fx64").replace(
+                    n_ants=n_ants, n_chans=chans_per_dev,
+                    spectra_per_chunk=spectra, n_spectra_per_acc=spectra),
+                build_mesh(devices=pool[:1]), window, iters)
+            base1 = (n_ants * cfg.n_pols * spectra * 2 * chans_per_dev
+                     ) / walls[1]
+            if per_dev / base1 > 1.2:
+                raise RuntimeError(
+                    f"scaling sweep implausible: {d}-dev per-device rate "
+                    f"{per_dev:.3g} > 1.2x the re-measured 1-dev rate "
+                    f"{base1:.3g} — refusing to record")
+            base_rate = base1
+            eff = per_dev / base_rate
+            for r in results:
+                if r.extra["devices"] == 1:
+                    # the polluted measurement itself: replace it
+                    r.value = base1
+                    r.wall_s = walls[1]
+                r.extra["per_device_rate"] = r.value / r.extra["devices"]
+                r.extra["efficiency_vs_1dev"] = (
+                    r.extra["per_device_rate"] / base_rate)
         results.append(BenchResult(
             name=f"scaling_fx_{d}dev",
             metric="weak-scaling samples/s", value=rate, unit="samp/s",

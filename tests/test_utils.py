@@ -89,8 +89,23 @@ class TestRegress:
         d = str(tmp_path)
         self._write(d, "k", 300, 3.0)
         self._write(d, "k", 100, 1.0)
-        runs = load_results(d)[("k", "unknown", "")]
+        runs = load_results(d)[0][("k", "unknown", "")]
         assert [r[1]["value"] for r in runs] == [1.0, 3.0]
+
+    def test_rejects_implausible_efficiency(self, tmp_path, capsys):
+        """A weak-scaling record claiming >1.2x efficiency is garbage by
+        construction (round-3's 520x record) and must not enter — or
+        gate — any regression series."""
+        d = str(tmp_path)
+        self._write(d, "k", 100, 10.0)
+        path = os.path.join(d, "k_abc_200.json")
+        with open(path, "w") as f:
+            json.dump({"name": "k", "metric": "m", "value": 5e6,
+                       "unit": "u", "wall_s": 0.02,
+                       "extra": {"efficiency_vs_1dev": 520.1}}, f)
+        assert regress_main(d) == 0
+        out = capsys.readouterr().out
+        assert "REJECTED" in out and "520" in out
 
     def test_platforms_never_compared(self, tmp_path, capsys):
         """A slow CPU-mesh record must not flag a regression against an
