@@ -251,8 +251,8 @@ def xcorr_accumulate_a2(acc: jax.Array, a2: jax.Array,
 
 
 def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
-                        z_scr, *, ap, b, k1n, kg, bt, ablate=()):
-    """Fused relayout + CMAC for one (k2-plane, k1-group) grid step.
+                        z_scr, *, ap, bc, k1n, kg, bt, ablate=()):
+    """Fused relayout + CMAC for one (k2-plane, b-tile, k1-group) grid step.
 
     The native F-engine layout has channel k1 on the LANE axis, but the
     CMAC needs per-channel (ap, b) matrices — a relayout XLA performs
@@ -284,38 +284,52 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
       this is lossless, and it HALVES the accumulator DMA, which the
       round-3 ablation measured as the kernel's dominant cost (4.9 of
       6.0 ms at the contract shape was DMA, not MXU).
+    * The spectra axis ``b`` tiles over a MIDDLE grid axis in ``bc``
+      sub-chunks with the k2-plane's FULL packed accumulator
+      (k1n, ap, ap) resident in VMEM across all of them — the
+      accumulator meets HBM once per *call*, not once per 512-spectra
+      chunk.  The round-3 ablation measured the acc read+write as the
+      dominant cost at the contract shape, and it scales 1/nt here
+      (int32 addition is associative, so the b regrouping is exact).
     """
-    g = pl.program_id(1)
+    t = pl.program_id(1)
+    g = pl.program_id(2)
 
     @pl.when(g == 0)
     def _():
-        # qn block (ap, 1, 2, b, k1n) int8 — fetched once per k2 (the
-        # index map repeats across g, so Pallas skips the re-fetch).
-        # The (ap, 2) -> (2, ap) transpose permutes MAJOR dims only (a
-        # vreg relabeling, not an intra-vreg shuffle) and keeps both
-        # the dot output and the scratch minor-dims as (ap, b*) — a
-        # (2, b) minor layout would pad every sublane tile 4x.
+        # qn block (ap, 1, 2, bc, k1n) int8 — fetched once per (k2, t)
+        # (the index map repeats across g, so Pallas skips the
+        # re-fetch).  The (ap, 2) -> (2, ap) transpose permutes MAJOR
+        # dims only (a vreg relabeling, not an intra-vreg shuffle) and
+        # keeps both the dot output and the scratch minor-dims as
+        # (ap, b*) — a (2, b) minor layout would pad every sublane
+        # tile 4x.
         if "relayout" not in ablate:
-            for t in range(b // bt):
-                x2 = qn_ref[:, 0, :, t * bt:(t + 1) * bt, :].transpose(
+            for tb in range(bc // bt):
+                x2 = qn_ref[:, 0, :, tb * bt:(tb + 1) * bt, :].transpose(
                     1, 0, 2, 3)                    # (2, ap, bt, k1n)
                 zt = jax.lax.dot_general(
                     eye_ref[...], x2, (((1,), (3,)), ((), ())),
                     preferred_element_type=jnp.int32)  # (k1n,2,ap,bt)
-                z_scr[:, :, :, t * bt:(t + 1) * bt] = zt.astype(
+                z_scr[:, :, :, tb * bt:(tb + 1) * bt] = zt.astype(
                     jnp.int8)
 
     # integration-window reset rides into the accumulate (keep = 0
     # zeroes the carry) — a lax.cond at the XLA level costs a full
-    # copy of the accumulator on its identity arm
+    # copy of the accumulator on its identity arm.  The carry base is
+    # the HBM accumulator only on the FIRST b-tile; later tiles chain
+    # through the VMEM-resident out block.
     keep = keep_ref[0]
+    first = t == 0
     if "cmac" in ablate:
         # attribution mode: skip the per-channel dots, still touch the
         # acc blocks (isolates relayout + DMA cost)
-        out_ref[...] = acc_ref[...] * keep
+        @pl.when(first & (g == 0))
+        def _():
+            out_ref[...] = acc_ref[...] * keep
         return
     mask = _pack_mask(ap, kernel=True)
-    zg = z_scr[pl.ds(g * kg, kg)]                  # (kg, 2, ap, b)
+    zg = z_scr[pl.ds(g * kg, kg)]                  # (kg, 2, ap, bc)
     for j in range(kg):
         zr, zi = zg[j, 0], zg[j, 1]
 
@@ -326,7 +340,12 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
 
         dr = dot(zr, zr) + dot(zi, zi)
         di = dot(zi, zr) - dot(zr, zi)
-        out_ref[0, j] = acc_ref[0, j] * keep + jnp.where(mask, dr, di)
+        row = g * kg + j
+        # out_ref is undefined before its first write at t == 0; the
+        # where() discards that lane, so the read is safe
+        base = jnp.where(first, acc_ref[0, row] * keep,
+                         out_ref[0, row])
+        out_ref[0, row] = base + jnp.where(mask, dr, di)
 
 
 def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
@@ -357,16 +376,20 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
     impl = resolve_impl(impl)
     a, p, m2, _, b, k1n = qn.shape
     ap = a * p
-    # footprint gate: the b-linear VMEM residents — the double-buffered
-    # qn block (2*ap*b*k1n int8 x2), the int8 z relayout scratch
-    # (2*ap*b*k1n), and the per-b-tile int32 relayout temporary
-    # (8*ap*k1n*bt) — bound them so gate-admitted shapes actually
-    # compile (flagship ap=128, b=512, k1n=128: 50 + 17 MB, measured
-    # good under the 100 MB kernel limit with the acc blocks on top)
+    # spectra-tile pick: the largest 128-multiple divisor of b whose
+    # VMEM residents fit — the double-buffered qn tile
+    # (2*ap*bc*k1n int8 x2), the int8 z relayout scratch
+    # (2*ap*bc*k1n), the per-b-tile int32 relayout temporary
+    # (8*ap*k1n*bt), plus the PLANE-RESIDENT packed accumulator in+out
+    # blocks (2*4*k1n*ap^2).  Flagship ap=128, bc=512, k1n=128:
+    # 50 + 17 + 17 MB, measured good under the kernel limit.
     bt = 128
-    scr_bytes = 6 * ap * b * k1n + 8 * ap * k1n * bt
-    ok = (impl.startswith("pallas") and k1n % 128 == 0 and b % 128 == 0
-          and scr_bytes <= 88 * 1024 * 1024
+    fixed = 8 * ap * k1n * bt + 8 * k1n * ap * ap
+    bc = min(b, 512) - min(b, 512) % 128
+    while bc >= 128 and (b % bc or
+                         6 * ap * bc * k1n + fixed > 96 * 1024 * 1024):
+        bc -= 128
+    ok = (impl.startswith("pallas") and k1n % 128 == 0 and bc >= 128
           and ap % 8 == 0 and acc.shape[0] == m2 * k1n)
     keep = (jnp.int32(1) if reset is None
             else 1 - jnp.asarray(reset).astype(jnp.int32))
@@ -376,11 +399,9 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
         a2 = qn.transpose(2, 5, 3, 0, 1, 4).reshape(
             m2 * k1n, 2 * ap, b)
         return xcorr_accumulate_a2(acc, a2, impl=impl)
-    # k1-group size: bounds only the per-group acc/out blocks (the
-    # relayout is plane-wide into scratch regardless) and the per-step
-    # CMAC unroll; kg = 16 keeps the packed acc blocks at
-    # ~kg*ap^2*8 bytes in+out (2.1 MB at ap=128) and the unroll at
-    # 64 dots
+    # k1-group size: bounds the per-step CMAC unroll only (the acc
+    # blocks are plane-resident and the relayout is plane-wide into
+    # scratch regardless); kg = 16 keeps the unroll at 64 dots
     kg = min(16, k1n)
     while k1n % kg:
         kg -= 1
@@ -388,28 +409,28 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
     eye = jnp.asarray(np.eye(k1n, dtype=np.int8))
     acc4 = acc.reshape(m2, k1n, ap, ap)
     out = pl.pallas_call(
-        functools.partial(_cmac_native_kernel, ap=ap, b=b, k1n=k1n,
+        functools.partial(_cmac_native_kernel, ap=ap, bc=bc, k1n=k1n,
                           kg=kg, bt=bt, ablate=tuple(_ablate)),
-        grid=(m2, k1n // kg),
+        grid=(m2, b // bc, k1n // kg),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((ap, 1, 2, b, k1n),
-                         lambda k2, g: (0, k2, 0, 0, 0),
+            pl.BlockSpec((ap, 1, 2, bc, k1n),
+                         lambda k2, t, g: (0, k2, 0, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k1n, k1n), lambda k2, g: (0, 0),
+            pl.BlockSpec((k1n, k1n), lambda k2, t, g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kg, ap, ap),
-                         lambda k2, g: (k2, g, 0, 0),
+            pl.BlockSpec((1, k1n, ap, ap),
+                         lambda k2, t, g: (k2, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, kg, ap, ap),
-                               lambda k2, g: (k2, g, 0, 0),
+        out_specs=pl.BlockSpec((1, k1n, ap, ap),
+                               lambda k2, t, g: (k2, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(acc4.shape, jnp.int32),
-        scratch_shapes=[pltpu.VMEM((k1n, 2, ap, b), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((k1n, 2, ap, bc), jnp.int8)],
         input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=128 * 1024 * 1024),
         interpret=(impl == "pallas_interpret"),
     )(keep.reshape(1), qn2, eye, acc4)
     return out.reshape(acc.shape)

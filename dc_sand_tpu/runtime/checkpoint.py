@@ -102,6 +102,7 @@ def save_state(runner, path: str) -> str:
                    else np.zeros(0, np.int8)),
         # delay/weight model state (SURVEY.md §5 checkpoint row)
         delay_d0=dm.d0, delay_d1=dm.d1, delay_p0=dm.p0, delay_p1=dm.p1,
+        delay_d2=dm.d2, delay_p2=dm.p2, delay_t_ref=dm.t_ref,
         delay_max=dm.max_delay,
         gains=np.asarray(runner.gains),
         counters=np.array([c.chunks_in, c.chunks_dropped, c.samples_in,
@@ -197,6 +198,15 @@ def load_state(runner, path: str) -> None:
         dm.d1 = z["delay_d1"].copy()
         dm.p0 = z["delay_p0"].copy()
         dm.p1 = z["delay_p1"].copy()
+        if "delay_d2" in z.files:
+            dm.d2 = z["delay_d2"].copy()
+            dm.p2 = z["delay_p2"].copy()
+            dm.t_ref = int(z["delay_t_ref"])
+        else:
+            # round-3 checkpoint (linear model, epoch 0)
+            dm.d2 = np.zeros_like(dm.d0)
+            dm.p2 = np.zeros_like(dm.p0)
+            dm.t_ref = 0
         dm.max_delay = int(z["delay_max"])
         runner.gains = (np.asarray(z["gains"]) if mp
                         else jnp.asarray(z["gains"]))

@@ -217,6 +217,94 @@ class TestRunnerFX:
         dumps_b, _ = resumed.run(src, 2)
         np.testing.assert_array_equal(dumps_a[1].vis, dumps_b[0].vis)
 
+    def test_quadratic_drift_resume_and_golden(self, tmp_path):
+        """SURVEY C2/C12 'time-varying delay polynomial': a QUADRATIC
+        model (d2, p2 != 0 — geometric acceleration between tracker
+        handoffs) must (a) track the per-chunk-coarse golden oracle and
+        (b) survive a checkpoint/resume bitwise, including the epoch
+        t_ref."""
+        from dc_sand_tpu.verify import _golden_coarse_stream
+        import copy
+        cfg = _cfg()
+        n_chunks = 4
+        dm = DelayModel.zeros(cfg.n_ants, cfg.n_pols, max_delay=8)
+        dm.d0 += 1.0
+        dm.d1 += 0.001
+        dm.d2 += 8e-7    # coarse sweeps ~1 -> ~5 over four 512-s chunks
+        dm.p1 += 1e-5
+        dm.p2 += 3e-9
+        dm.t_ref = 0
+        gains = np.full(cfg.n_chans, 0.05) + 0j
+        gains_ri = np.stack([gains.real, gains.imag], -1).astype(np.float32)
+        stream = _make_stream(cfg, n_chunks, seed=17)
+        w = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
+        runner = FXRunner(cfg, w, delay_model=copy.deepcopy(dm),
+                          gains=gains_ri, impl="jnp")
+        dumps, _ = runner.run(_source(stream, cfg), n_chunks)
+
+        # (a) golden oracle with the same quadratic evaluation
+        delayed = _golden_coarse_stream(cfg, stream, dm, n_chunks)
+        fracs, phases = [], []
+        for i in range(n_chunks):
+            _, f, p = dm.evaluate_chunk(i * cfg.chunk_samples,
+                                        cfg.spectra_per_chunk,
+                                        cfg.fft_size)
+            fracs.append(f)
+            phases.append(p)
+        lead = (cfg.n_taps - 1) * cfg.fft_size
+        xg = np.concatenate(
+            [np.zeros(delayed.shape[:-1] + (lead,)), delayed], axis=-1)
+        spec_g = golden.f_engine(
+            xg, w, cfg.n_taps, cfg.n_chans,
+            frac_delay=np.concatenate(fracs, -1),
+            phase=np.concatenate(phases, -1), gains=gains)
+        bpa = cfg.n_spectra_per_acc
+        for d_i, dump in enumerate(dumps):
+            vis_g = golden.xcorr(spec_g[:, :, d_i * bpa:(d_i + 1) * bpa])
+            vis = dump.vis[..., 0] + 1j * dump.vis[..., 1]
+            assert snr_db(vis_g, vis) > 50
+
+        # (b) resume mid-stream: d2/p2/t_ref ride the checkpoint
+        src = _source(stream, cfg)
+        first = FXRunner(cfg, w, delay_model=copy.deepcopy(dm),
+                         gains=gains_ri, impl="jnp")
+        first.run(src, 2)
+        ckpt = str(tmp_path / "quad.npz")
+        save_state(first, ckpt)
+        resumed = FXRunner(
+            cfg, w, delay_model=DelayModel.zeros(
+                cfg.n_ants, cfg.n_pols, max_delay=8),
+            gains=gains_ri, impl="jnp")
+        load_state(resumed, ckpt)
+        assert resumed.delay_model.d2[0, 0] == pytest.approx(8e-7)
+        dumps_b, _ = resumed.run(src, 2)
+        np.testing.assert_array_equal(dumps[1].vis, dumps_b[0].vis)
+
+    def test_polynomial_handoff_continuity(self):
+        """DelayModel.update() recenters the live polynomials to the new
+        epoch exactly: a handoff that changes NO coefficients evaluates
+        identically before and after (no delay jump at the boundary),
+        and a full handoff takes effect in the new epoch's frame."""
+        dm = DelayModel.zeros(1, 1, max_delay=8)
+        dm.d0 += 1.0
+        dm.d1 += 1e-3
+        dm.d2 += 2e-7
+        dm.p1 += 1e-5
+        dm.p2 += 4e-9
+        c0, f0, ph0 = dm.evaluate_chunk(4096, 8, 128)
+        dm.update(t_ref=4096)   # pure recenter, no coefficient change
+        c1, f1, ph1 = dm.evaluate_chunk(4096, 8, 128)
+        np.testing.assert_array_equal(c0, c1)
+        np.testing.assert_allclose(f0, f1, atol=1e-6)
+        np.testing.assert_allclose(ph0, ph1, atol=1e-6)
+        # full handoff: new coefficients are in the NEW epoch's frame
+        dm.update(t_ref=8192, d0=3.0, d1=0.0, d2=0.0, p0=0.5, p1=0.0,
+                  p2=0.0)
+        c2, f2, ph2 = dm.evaluate_chunk(8192, 2, 128)
+        assert c2[0, 0] == 3
+        np.testing.assert_allclose(f2, 0.0, atol=1e-6)
+        np.testing.assert_allclose(ph2, 0.5, atol=1e-6)
+
     def test_drifting_coarse_matches_golden(self):
         """d1 != 0 end-to-end vs the per-chunk-coarse golden oracle
         (the whole-stream single-coarse oracle would be wrong here —
