@@ -105,49 +105,59 @@ def _beamform_pallas(xr, xi, wr, wi, interpret=False):
 
 
 def _beam_native_kernel(qn_ref, eye_ref, w2_ref, out_ref,
-                        x2_scr, *, a, p, b, k1n, kg, nb):
-    """Beamform one (k2-plane, k1-group) straight from the fused
+                        x2_scr, *, a, p, b, k1n, kg, nb, pg):
+    """Beamform ``pg`` k2-planes x one k1-group straight from the fused
     F-engine's native layout.
 
     Same relayout trick as the X-engine's native CMAC kernel
     (ops/xcorr.py:_cmac_native_kernel): channel k1 lives on the LANE
     axis, so an identity contraction against it moves it to the front
-    on the MXU — exact in bf16 for int8 spectra — and the operand never
-    round-trips HBM for the (a,p,b,K)->(K,..) transpose that made the
-    XLA beam path input-relayout-bound.  Per (k1, pol) the beam product
-    is the stacked-real matmul ``[yr; yi] = [[wr,-wi],[wi,wr]] @
-    [xr; xi]`` with hi/lo-bf16-split weights and fp32 accumulation
-    (~16-bit effective weight mantissa, as the wire kernel above).
+    on the MXU — and the operand never round-trips HBM for the
+    (a,p,b,K)->(K,..) transpose that made the XLA beam path
+    input-relayout-bound.  The identity pass rides the s8xs8->s32 MXU
+    path (2x the bf16 MACs/s on this chip; each output is a one-hot
+    sum of int8 values, so the s32->bf16 cast is exact) — the round-3
+    bf16-eye variant spent 2x the beam dot's own MXU time on the
+    relayout at 16 beams.  Per (k1, pol) the beam product is the
+    stacked-real matmul ``[yr; yi] = [[wr,-wi],[wi,wr]] @ [xr; xi]``
+    with hi/lo-bf16-split weights and fp32 accumulation (~16-bit
+    effective weight mantissa, as the wire kernel above).
 
     MXU-row-occupancy lesson (measured): an MXU pass costs the same
     whether it fills 32 rows or 128, so the hi and lo weight tables
     are STACKED into one (4nb, 2a) operand — one pass at doubled row
     fill instead of two at 2nb = 32 rows — and the split-add happens on
     the fp32 outputs (bitwise identical: each output element is still
-    sum_hi + sum_lo after full contractions)."""
+    sum_hi + sum_lo after full contractions).
+
+    ``pg`` batches k2-planes through one grid step to amortise the
+    per-step fixed cost (block DMA latency, scratch staging) the
+    round-3 kg sweep measured as dominant once MXU rows are filled."""
     g = pl.program_id(1)
 
     @pl.when(g == 0)
     def _():
-        blk = qn_ref[:, 0]                       # (ap, 2, b, k1n) int8
-        x2_scr[...] = blk.reshape(a, p, 2, b, k1n).astype(
-            jnp.bfloat16).transpose(1, 2, 0, 3, 4)   # (p, 2, a, b, k1n)
+        blk = qn_ref[...]                   # (ap, pg, 2, b, k1n) int8
+        x2_scr[...] = blk.reshape(a, p, pg, 2, b, k1n).transpose(
+            2, 1, 3, 0, 4, 5)               # (pg, p, 2, a, b, k1n)
 
-    for pi in range(p):
-        z = jax.lax.dot_general(
-            eye_ref[...], x2_scr[pi], (((1,), (3,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (kg, 2, a, b)
-        zb = z.astype(jnp.bfloat16)                  # exact: int8 range
-        for k1 in range(kg):
-            a2 = zb[k1].reshape(2 * a, b)
-            y2 = jax.lax.dot_general(
-                w2_ref[0, k1], a2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (4nb, b)
-            out_ref[0, k1, pi] = y2[:2 * nb] + y2[2 * nb:]
+    for pp in range(pg):
+        for pi in range(p):
+            z = jax.lax.dot_general(
+                eye_ref[...], x2_scr[pp, pi], (((1,), (3,)), ((), ())),
+                preferred_element_type=jnp.int32)    # (kg, 2, a, b)
+            zb = z.astype(jnp.bfloat16)              # exact: int8 range
+            for k1 in range(kg):
+                a2 = zb[k1].reshape(2 * a, b)
+                y2 = jax.lax.dot_general(
+                    w2_ref[pp, k1], a2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (4nb, b)
+                out_ref[pp, k1, pi] = y2[:2 * nb] + y2[2 * nb:]
 
 
 def beamform_native(qn: jax.Array, weights: jax.Array,
-                    impl: str = "auto", _kg: int = None) -> jax.Array:
+                    impl: str = "auto", _kg: int = None,
+                    _pg: int = None, _decode: bool = True) -> jax.Array:
     """Coherent beams STRAIGHT from the fused F-engine's native plane
     layout ``qn: (a, p, m2, 2, b, k1n)`` int8 (no materialised
     corner-turn; channel ``k = k2 + m2*k1``).  ``weights: (beam, a, K,
@@ -160,12 +170,14 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
     nb = weights.shape[0]
     k = m2 * k1n
     # footprint gate (as ops/xcorr.py xcorr_accumulate_native): the
-    # b-linear VMEM residents — double-buffered qn block + x2 relayout
-    # scratch — total 8*a*p*b*k1n bytes and don't shrink with the kg
-    # group scaling; bound them so gate-admitted shapes compile
+    # b-linear VMEM residents — double-buffered qn block + int8 x2
+    # relayout scratch — total 6*a*p*b*k1n bytes PER PLANE and don't
+    # shrink with the kg group scaling; bound them so gate-admitted
+    # shapes compile
+    per_plane = 6 * a * p * b * k1n
     ok = (rimpl.startswith("pallas") and qn.dtype == jnp.int8
           and k1n % 128 == 0 and b % 128 == 0 and (2 * a) % 8 == 0
-          and 8 * a * p * b * k1n <= 96 * 1024 * 1024
+          and per_plane <= 64 * 1024 * 1024
           and (2 * nb) % 8 == 0 and weights.shape[2] == k)
     if not ok:
         # decode native -> wire at XLA level, then the normal path:
@@ -185,7 +197,7 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
     # hi/lo stacked on the ROW axis: one (4nb, 2a) MXU pass per (k1,
     # pol) at doubled row occupancy (see kernel docstring)
     w2t = jnp.concatenate([wh, wl], axis=2)      # (m2, k1n, 4nb, 2a)
-    eye = jnp.asarray(np.eye(k1n, dtype=np.float32), jnp.bfloat16)
+    eye = jnp.asarray(np.eye(k1n, dtype=np.int8))
     # k1 group: larger kg = fewer grid steps and taller relayout M.
     # Measured on-chip at the contract shape (16 beams, 64 ants, 4k
     # chans; bench/results/beamform_native_kg_*): the FULL k1 plane per
@@ -199,7 +211,7 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
     if _kg is None:
         per_kg = (p * 2 * nb * b * 4      # out block (fp32)
                   + 4 * nb * 2 * a * 2    # w2t block (bf16)
-                  + 2 * a * b * 6)        # z fp32 dot temp + bf16 cast
+                  + 2 * a * b * 6)        # z s32 dot temp + bf16 cast
         kg = 8
         for d in range(k1n, 7, -1):
             if k1n % d == 0 and (d % 8 == 0 or d == k1n) \
@@ -210,31 +222,50 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
         if k1n % _kg:
             raise ValueError(f"_kg={_kg} must divide k1n={k1n}")
         kg = _kg
+    # planes per grid step: amortise the per-step fixed cost while the
+    # plane-linear residents (double-buffered qn block + int8 scratch +
+    # out block + w2t) fit; _pg overrides for on-chip sweeps
+    if _pg is None:
+        pg = 1
+        per_pl = (per_plane
+                  + k1n * p * 2 * nb * b * 4       # out block / plane
+                  + k1n * 4 * nb * 2 * a * 2)      # w2t / plane
+        while (pg * 2 <= m2 and m2 % (pg * 2) == 0
+               and (pg * 2) * per_pl <= 72 * 1024 * 1024):
+            pg *= 2
+    else:
+        if m2 % _pg:
+            raise ValueError(f"_pg={_pg} must divide m2={m2}")
+        pg = _pg
     qn2 = qn.reshape(a * p, m2, 2, b, k1n)
     out = pl.pallas_call(
         functools.partial(_beam_native_kernel, a=a, p=p, b=b, k1n=k1n,
-                          kg=kg, nb=nb),
-        grid=(m2, k1n // kg),
+                          kg=kg, nb=nb, pg=pg),
+        grid=(m2 // pg, k1n // kg),
         in_specs=[
-            pl.BlockSpec((a * p, 1, 2, b, k1n),
+            pl.BlockSpec((a * p, pg, 2, b, k1n),
                          lambda k2, g: (0, k2, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kg, k1n), lambda k2, g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kg, 4 * nb, 2 * a),
+            pl.BlockSpec((pg, kg, 4 * nb, 2 * a),
                          lambda k2, g: (k2, g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, kg, p, 2 * nb, b),
+        out_specs=pl.BlockSpec((pg, kg, p, 2 * nb, b),
                                lambda k2, g: (k2, g, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m2, k1n, p, 2 * nb, b),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((p, 2, a, b, k1n), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((pg, p, 2, a, b, k1n), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=128 * 1024 * 1024),
         interpret=(rimpl == "pallas_interpret"),
     )(qn2, eye, w2t)
+    if not _decode:
+        # bench/attribution only: the raw kernel layout, isolating the
+        # wire-decode transpose's share of the measured wall
+        return out
     # (m2, k1n, p, [yr;yi](2, nb), b) -> wire (nb, p, b, k, 2)
     out6 = out.reshape(m2, k1n, p, 2, nb, b)
     return out6.transpose(4, 2, 5, 1, 0, 3).reshape(nb, p, b, k, 2)
