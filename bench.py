@@ -203,6 +203,15 @@ def main() -> None:
                     break
         except Exception:
             pass
+    # speed-of-light accounting (BASELINE.json:5): the fraction of the
+    # kernel's OWN cost-model bound (bottleneck unit at measured unit
+    # rates — see bench.pipelines.fengine_cost_model) achieved live,
+    # printed next to vs_realtime_floor per VERDICT r3 #4
+    def _pct_of_bound(r):
+        cm = r.extra.get("cost_model") or {}
+        b = cm.get("bound_gsamp_s")
+        return (r.value / 1e9 / b) if b else None
+
     print(json.dumps({
         "metric": res.metric + " (4k chans, contract shape)",
         "value": res.value,
@@ -210,6 +219,8 @@ def main() -> None:
         "vs_baseline": res.value / REALTIME_FLOOR_PER_CHIP,
         "extra": {"gsamp_s_1k_chans": res1k.value / 1e9,
                   "bottleneck": res.extra.get("bottleneck"),
+                  "pct_of_cost_model_bound": _pct_of_bound(res),
+                  "pct_of_cost_model_bound_1k": _pct_of_bound(res1k),
                   "fx_step_64ant_4k_recorded": fx,
                   "xcorr_baselines_per_s_64ant": xc},
     }))

@@ -22,14 +22,22 @@ __all__ = ["build_mesh", "FX_AXIS", "TIME_AXIS"]
 
 def build_mesh(n_devices: Optional[int] = None,
                devices: Optional[Sequence] = None,
-               time_shards: int = 1) -> Mesh:
+               time_shards: int = 1, time_local: bool = False) -> Mesh:
     """Build a ``(time, fx)`` mesh over the given devices.
 
     ``time_shards=1`` (default) gives the pure FX layout; >1 additionally
     shards the sample stream (halo exchange becomes active).  On a real
     pod slice, callers pass ``jax.devices()`` after
     ``jax.distributed.initialize()`` and XLA maps the axes onto ICI/DCN.
-    """
+
+    ``time_local=True`` lays the TIME axis out within each process's
+    contiguous device block (fx across processes, time across each
+    host's local chips) — the ingest-locality layout the multi-process
+    SP streaming runner requires: one host receives its antennas' whole
+    contiguous stream and its local chips split it in time, so the
+    overlap-save halo rides ICI, never DCN.  The default (time-major)
+    layout spreads each time shard across all processes — right for
+    model-level SP tests, unusable for a streaming feed."""
     if devices is None:
         # honour a pinned jax_default_device (tests pin cpu on the axon
         # dev box, where jax.devices() would return the tunnelled TPU)
@@ -60,5 +68,8 @@ def build_mesh(n_devices: Optional[int] = None,
         raise ValueError(f"{n} devices not divisible by {time_shards} "
                          "time shards")
     import numpy as np
-    arr = np.asarray(devices).reshape(time_shards, n // time_shards)
+    if time_local:
+        arr = np.asarray(devices).reshape(n // time_shards, time_shards).T
+    else:
+        arr = np.asarray(devices).reshape(time_shards, n // time_shards)
     return Mesh(arr, (TIME_AXIS, FX_AXIS))

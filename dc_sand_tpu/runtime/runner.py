@@ -76,25 +76,55 @@ class FXRunner:
         self._n_ants_local = cfg.n_ants
         if self._mp:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            from dc_sand_tpu.parallel import FX_AXIS
+            from dc_sand_tpu.parallel import FX_AXIS, TIME_AXIS
             from dc_sand_tpu.parallel.distributed import \
                 local_antenna_range
             a0, a1 = local_antenna_range(cfg.n_ants)
             self._n_ants_local = a1 - a0
-            # shardings reused every chunk (the feed path is hot)
-            self._sh_by_axis = {
-                ax: NamedSharding(mesh, P(*([None] * ax + [FX_AXIS])))
-                for ax in (0, 1)}
+            # shardings reused every chunk (the feed path is hot),
+            # keyed by step-argument role to match make_step's in_specs
+            if cfg.time_shards > 1:
+                # multi-process SP: antennas over fx (= processes),
+                # sample stream over the PROCESS-LOCAL time axis — the
+                # ingest-locality layout (one host = its antennas'
+                # whole contiguous stream; its local chips split it in
+                # time and the halo rides ICI).  A time axis that
+                # crosses processes would make each host's addressable
+                # chunk slab non-contiguous AND put the per-chunk halo
+                # on DCN — refuse it rather than assemble it slowly.
+                devs = mesh.devices   # (time, fx)
+                for f in range(devs.shape[1]):
+                    if len({d.process_index for d in devs[:, f]}) != 1:
+                        raise NotImplementedError(
+                            "multi-process SP streaming needs the time "
+                            "axis process-local (build_mesh(..., "
+                            "time_local=True)): one host ingests its "
+                            "antennas' contiguous stream; a time shard "
+                            "crossing hosts would split that stream "
+                            "across NICs and put the overlap-save halo "
+                            "on DCN")
+                t3 = P(FX_AXIS, None, TIME_AXIS)
+                self._sh = {
+                    "history": NamedSharding(mesh, t3),
+                    "chunk": NamedSharding(mesh, t3),
+                    "coarse": NamedSharding(mesh, P()),
+                    "frac": NamedSharding(mesh, t3),
+                    "phase": NamedSharding(mesh, t3),
+                    "weights": NamedSharding(mesh, P(None, FX_AXIS)),
+                    "vis": NamedSharding(mesh, P(TIME_AXIS, FX_AXIS)),
+                }
+            else:
+                a_sh = NamedSharding(mesh, P(FX_AXIS))
+                self._sh = {
+                    "history": a_sh, "chunk": a_sh, "coarse": a_sh,
+                    "frac": a_sh, "phase": a_sh,
+                    "weights": NamedSharding(mesh, P(None, FX_AXIS)),
+                    "vis": a_sh,
+                }
         # fengine mode under multi-process emits antenna-sharded
         # per-chunk spectra; on_output hands them over as jax Arrays
         # (each host consumes its own addressable antenna shards — the
         # same pass-through contract as EP beam shards below)
-        if self._mp and cfg.time_shards > 1:
-            raise NotImplementedError(
-                "multi-process SP streaming: the runner's global-array "
-                "assembly shards antennas; time-axis sharding across "
-                "processes is exercised at the model level "
-                "(make_time_sharded_fengine, tests/test_distributed.py)")
         if self._mp and self.coarse_on_host and self.max_delay:
             raise ValueError(
                 "multi-process runner: apply coarse delay at ingest "
@@ -131,8 +161,8 @@ class FXRunner:
             # carries/parameters as GLOBAL sharded arrays (the step's
             # in_specs); gains/reset stay host-numpy — fully-replicated
             # args may be identical per-process ndarrays
-            self.history = self._put_full(self.history, axis=0)
-            self.weights = self._put_full(self.weights, axis=1)
+            self.history = self._put_full(self.history, "history")
+            self.weights = self._put_full(self.weights, "weights")
             self.gains = np.asarray(self.gains)
         self._host_tail = (np.zeros((a, p, self.max_delay), np.int8)
                            if self.coarse_on_host and self.max_delay
@@ -141,7 +171,7 @@ class FXRunner:
                                                  fx_channel_perm)
         self.vis_acc = zero_vis_acc(cfg)
         if self._mp and self.mode == "fx":
-            self.vis_acc = self._put_full(self.vis_acc, axis=0)
+            self.vis_acc = self._put_full(self.vis_acc, "vis")
         if self.mode == "fx":
             # dump-time baseline extraction (jitted once; n_ants/n_pols
             # are static) — the accumulator itself carries the packed
@@ -189,26 +219,28 @@ class FXRunner:
         self._acc_first_chunk = 0
 
     # ------------------------------------------------------------------
-    def _put_full(self, arr, axis: int):
-        """Full-array-on-every-process -> global array sharded on
-        ``axis`` over the fx mesh axis (each process serves its
-        addressable shards from its identical host copy)."""
+    def _put_full(self, arr, role: str):
+        """Full-array-on-every-process -> global array with ``role``'s
+        sharding (each process serves its addressable shards from its
+        identical host copy)."""
         a = np.asarray(arr)
         return jax.make_array_from_callback(
-            a.shape, self._sh_by_axis[axis], lambda idx: a[idx])
+            a.shape, self._sh[role], lambda idx: a[idx])
 
     def _put_chunk(self, chunk):
         """Source chunk -> device. Single-process: plain transfer.
         Multi-process: the source provides only this host's LOCAL
         antennas (rows ``local_antenna_range``); assemble the global
-        antenna-sharded array from the per-process blocks."""
+        antenna-sharded array from the per-process blocks.  Under SP
+        the local slab additionally spans the full (process-local) time
+        axis, so it is still one contiguous block per host."""
         if not self._mp:
             return jnp.asarray(chunk)
         local = np.asarray(chunk)
         rows = (self.cfg.n_ants * self.cfg.n_pols if self._frames_io
                 else self.cfg.n_ants)
         return jax.make_array_from_process_local_data(
-            self._sh_by_axis[0], local, (rows,) + local.shape[1:])
+            self._sh["chunk"], local, (rows,) + local.shape[1:])
 
     # ------------------------------------------------------------------
     def run(self, source: Callable[[int], np.ndarray], n_chunks: int,
@@ -236,8 +268,10 @@ class FXRunner:
             if reset:
                 self._acc_first_chunk = i
             if self._mp:
-                args = (self._put_chunk(chunk), self._put_full(coarse, 0),
-                        self._put_full(frac, 0), self._put_full(phase, 0),
+                args = (self._put_chunk(chunk),
+                        self._put_full(coarse, "coarse"),
+                        self._put_full(frac, "frac"),
+                        self._put_full(phase, "phase"),
                         self.gains, self.weights, np.asarray(reset))
             else:
                 args = (jnp.asarray(chunk), jnp.asarray(coarse),

@@ -328,6 +328,60 @@ def main() -> int:
               f"> 50 dB, halo crossed the process boundary", flush=True)
         return 0
 
+    if mode == "sp_runner":
+        # multi-process SP STREAMING runner (the one combination round 3
+        # descoped): fx axis across processes (each host feeds its local
+        # antennas' whole contiguous stream), time axis across each
+        # host's LOCAL devices (build_mesh(time_local=True)) — and the
+        # dumps are BITWISE the non-SP multi-process runner's (the time
+        # regrouping of the int32 accumulation is exact)
+        from dc_sand_tpu.config import ChainConfig
+        from dc_sand_tpu.runtime import FXRunner
+        from dc_sand_tpu.utils import snr_db
+        base = dict(n_ants=8, n_pols=1, n_chans=128, n_taps=4,
+                    spectra_per_chunk=8, n_spectra_per_acc=16,
+                    run_xengine=True, apply_delay=False,
+                    apply_requant=True)
+        n_chunks = 4
+        cfg0 = ChainConfig(name="mps0", **base)
+        x = golden.quantize_adc(golden.gaussian_noise(
+            (cfg0.n_ants, 1, n_chunks * cfg0.chunk_samples), 20.0, 33))
+        a0, a1 = local_antenna_range(cfg0.n_ants)
+        w = pfb_window(cfg0.n_taps, cfg0.fft_size)
+
+        def src(i):
+            return x[a0:a1, :, i * cfg0.chunk_samples:
+                     (i + 1) * cfg0.chunk_samples]
+
+        # reference: the plain antenna-sharded mp runner on all devices
+        ref_runner = FXRunner(cfg0, w, mesh=build_mesh(), impl="jnp")
+        dumps_ref, _ = ref_runner.run(src, n_chunks)
+
+        tsh = d // n_proc   # time shards = each host's local devices
+        cfg = ChainConfig(name="mps", **base).replace(time_shards=tsh)
+        mesh = build_mesh(time_shards=tsh, time_local=True)
+        assert mesh.shape["time"] == tsh
+        r = FXRunner(cfg, w, mesh=mesh, impl="jnp")
+        dumps, counters = r.run(src, n_chunks)
+        assert counters.dumps == len(dumps) == len(dumps_ref) == 2
+        for dr, ds in zip(dumps_ref, dumps):
+            np.testing.assert_array_equal(dr.vis, ds.vis)
+        spec_g = golden.f_engine(
+            np.concatenate([np.zeros((cfg.n_ants, 1,
+                                      (cfg.n_taps - 1) * cfg.fft_size)),
+                            x], -1), w, cfg.n_taps, cfg.n_chans,
+            gains=np.full(cfg.n_chans, cfg.quant_scale) + 0j)
+        for di, dump in enumerate(dumps):
+            win = spec_g[:, :, di * 16:(di + 1) * 16]
+            snr = snr_db(golden.xcorr(win),
+                         dump.vis[..., 0] + 1j * dump.vis[..., 1])
+            assert snr > 50, f"dump {di}: {snr:.1f} dB"
+        print(f"PASS proc {pid}/{n_proc} (sp_runner): SP x fx streaming "
+              f"runner bitwise vs the non-SP mp runner, > 50 dB vs "
+              f"golden (time axis process-local, halo on ICI)",
+              flush=True)
+        return 0
+
     n_ants, n_pols, taps, n_chans, nb = 8, 1, 4, 128, 8
     m = 2 * n_chans
     n = (nb + taps - 1) * m

@@ -26,7 +26,7 @@ def _free_port() -> int:
 
 @pytest.mark.parametrize("mode", ["fx", "sp", "runner", "beam",
                                   "beam_ep", "verify", "ckpt",
-                                  "fengine"])
+                                  "fengine", "sp_runner"])
 def test_multiprocess_step(mode, n_proc=2, dev_per_proc=2):
     port = _free_port()
     env = dict(os.environ,
