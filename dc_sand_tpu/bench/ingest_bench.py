@@ -28,7 +28,7 @@ from dc_sand_tpu.bench.harness import BenchResult
 from dc_sand_tpu.bench.pipelines import REALTIME_FLOOR_PER_CHIP
 
 __all__ = ["bench_ingest_host", "bench_ingest_runner",
-           "bench_ingest_udp"]
+           "bench_ingest_udp", "bench_e2e_atrate"]
 
 
 def _make_bursts(a, p, c_samp, n_chunks, packet_samples, seed=0):
@@ -244,6 +244,147 @@ def bench_ingest_runner(n_ants: int = 16, n_pols: int = 2,
                "dispatch_note": "includes per-chunk tunnel RPC on the "
                                 "axon dev box",
                "vs_realtime_floor": rate / REALTIME_FLOOR_PER_CHIP},
+    ).finish()
+
+
+def bench_e2e_atrate(n_ants: int = 16, n_pols: int = 2,
+                     n_chans: int = 4096, spectra: int = 2048,
+                     n_chunks: int = 6, packet_samples: int = 16384,
+                     verify: bool = True, impl: str = "auto",
+                     queue_depth: int = 2) -> BenchResult:
+    """THE at-rate rehearsal with the device in the loop (VERDICT r3
+    #5): SPEAD packets -> ``NativeIngest`` -> host->device transfer ->
+    ``FXRunner`` FX step on the TPU, with the host feed (packet
+    assembly + h2d) of chunk i+1 OVERLAPPING the device compute of
+    chunk i via a double-buffered feeder thread — SURVEY §7
+    "overlapping host feed with device compute".  One record carries
+    the sustained rate, the ingest loss counters, AND the golden
+    verification verdict of every timed dump (``dumps_verified``).
+
+    The default shape (16 ants dual-pol 4k chans) is chosen so the
+    float64 golden FX chain over the timed window stays tractable on
+    the host while the per-chunk work is deep enough to amortise this
+    dev box's ~30 ms/dispatch tunnel RPC; on PCIe-attached production
+    hardware the same harness runs the full 64-ant shape.
+    """
+    import queue as queue_mod
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from dc_sand_tpu.config import get_config
+    from dc_sand_tpu.runtime import FXRunner
+    from dc_sand_tpu.runtime.ingest import NativeIngest
+    from dc_sand_tpu.windows import pfb_window
+
+    cfg = get_config("fx64").replace(
+        n_ants=n_ants, n_pols=n_pols, n_chans=n_chans,
+        spectra_per_chunk=spectra, n_spectra_per_acc=2 * spectra,
+        apply_delay=False)
+    a, p, c_samp = n_ants, n_pols, cfg.chunk_samples
+    # warm TWO full dump windows (step + extract programs both
+    # first-execute server-side on this box) and keep the timed region
+    # dump-aligned so the golden windows line up
+    cpd = cfg.n_spectra_per_acc // spectra
+    if n_chunks % cpd:
+        raise ValueError(f"n_chunks must be dump-aligned (x{cpd})")
+    n_warm = 2 * cpd
+    total = n_warm + n_chunks
+    data, bursts = _make_bursts(a, p, c_samp, total, packet_samples,
+                                seed=5)
+    ing = NativeIngest(a, p, c_samp, n_slots=4)
+    window = pfb_window(cfg.n_taps, cfg.fft_size, cfg.window)
+    # EQ gain scaled so the requantised noise spectra fill int8 without
+    # saturating (the tests' standard 0.05 choice for +-100 ADC noise)
+    eq = 0.05
+    gains_ri = np.stack([np.full((n_chans,), eq, np.float32),
+                         np.zeros((n_chans,), np.float32)], -1)
+    runner = FXRunner(cfg, window, gains=gains_ri, impl=impl)
+
+    frames_io = runner._frames_io
+    shp = ((a * p, spectra, 2 * n_chans) if frames_io
+           else (a, p, c_samp))
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=queue_depth)
+    stop = threading.Event()
+
+    def feeder():
+        # the production receive path: packets land in the assembler's
+        # ring, a completed chunk is retired zero-copy and shipped to
+        # the device while the PREVIOUS chunk is still computing
+        for i in range(total):
+            if stop.is_set():
+                return
+            ants, pols, tss, payload = bursts[i]
+            ing.submit_burst(ants, pols, tss + np.uint64(i * c_samp),
+                             payload, packet_samples)
+            view = ing.retire_view(force=True)[0]
+            chunk = jax.block_until_ready(
+                jnp.asarray(view.reshape(shp)))
+            ing.release()
+            q.put((i, chunk))
+
+    th = threading.Thread(target=feeder, daemon=True)
+    th.start()
+
+    def source(i):
+        j, chunk = q.get()
+        assert j == i, (j, i)
+        return chunk
+
+    dumps_all = []
+    runner.run(source, n_warm, on_dump=dumps_all.append)
+    t0 = time.perf_counter()
+    dumps = []
+    runner.run(source, n_chunks, on_dump=dumps.append)
+    # the wall must include the LAST dump's device work: on_dump's
+    # np.asarray already forces it, so perf_counter here is honest
+    wall = time.perf_counter() - t0
+    stop.set()
+    th.join(timeout=10)
+    samples = a * p * c_samp * n_chunks
+    rate = samples / wall
+    stats = ing.stats()
+
+    verified = None
+    snrs = []
+    if verify and dumps:
+        from dc_sand_tpu import golden
+        from dc_sand_tpu.utils import snr_db
+        # the runner enters the timed region with REAL history (the
+        # warm chunks) — the golden lead-in is the true stream tail
+        t_lo = n_warm * c_samp
+        lead = data[..., t_lo - (cfg.n_taps - 1) * cfg.fft_size:t_lo]
+        seg = np.concatenate(
+            [lead, data[..., t_lo:(n_warm + n_chunks) * c_samp]], -1)
+        spec_g = golden.f_engine(
+            seg, window, cfg.n_taps, n_chans,
+            gains=np.full(n_chans, eq) + 0j)
+        bpa = cfg.n_spectra_per_acc
+        verified = True
+        for di, d in enumerate(dumps):
+            ref = golden.xcorr(spec_g[:, :, di * bpa:(di + 1) * bpa])
+            vis = d.vis[..., 0] + 1j * d.vis[..., 1]
+            snr = float(snr_db(ref, vis))
+            snrs.append(snr)
+            verified = verified and snr > 50 \
+                and d.n_spectra == d.n_spectra_nominal
+    return BenchResult(
+        name="e2e_atrate",
+        metric="e2e SPEAD->ingest->device samples/s", value=rate,
+        unit="samp/s", wall_s=wall / n_chunks, bytes_moved=samples,
+        extra={"n_ants": a, "n_chans": n_chans, "spectra": spectra,
+               "n_chunks": n_chunks, "impl": impl,
+               "frames_io": frames_io,
+               "packet_samples": packet_samples,
+               "vs_realtime_floor": rate / REALTIME_FLOOR_PER_CHIP,
+               "dumps_verified": verified,
+               "dump_snrs_db": snrs,
+               "dumps": len(dumps),
+               "overlap": "feeder thread, queue depth "
+                          f"{queue_depth}",
+               "ingest_stats": stats},
     ).finish()
 
 

@@ -214,6 +214,11 @@ def _run_bench(args) -> int:
         results.append(bench_ingest_udp())
         results.append(bench_ingest_udp(n_workers=4))
         results.append(bench_ingest_runner())
+    elif args.target == "e2e":
+        from dc_sand_tpu.bench.ingest_bench import bench_e2e_atrate
+        results.append(bench_e2e_atrate(
+            spectra=args.spectra or 2048,
+            n_chans=args.scale or 4096))
     elif args.target == "scaling":
         from dc_sand_tpu.bench.scaling import bench_scaling
         results.extend(bench_scaling(max_devices=args.mesh or 8))
@@ -299,7 +304,7 @@ def main(argv=None) -> int:
     pb.add_argument("target", nargs="?", default="fengine",
                     choices=["fengine", "pfb", "fx", "beam-step",
                              "xcorr", "beamform", "fft", "collectives",
-                             "membench", "scaling", "ingest"])
+                             "membench", "scaling", "ingest", "e2e"])
     pb.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler (xprof/perfetto) trace")
     pb.add_argument("--spectra", type=int, default=None,

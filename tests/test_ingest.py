@@ -771,3 +771,22 @@ class TestUdpTransport:
         got, fill = rx_ing.retire()
         assert fill == 1.0
         assert np.asarray(got).tobytes() == vis.tobytes()
+
+
+class TestE2EAtRate:
+    def test_harness_verifies_dumps(self):
+        """The at-rate rehearsal harness (SPEAD -> NativeIngest -> h2d
+        -> FXRunner, feeder thread overlapping device compute) produces
+        golden-verified dumps and clean loss counters at a CI shape —
+        the same code path the on-chip e2e record runs at contract
+        scale."""
+        from dc_sand_tpu.bench.ingest_bench import bench_e2e_atrate
+        r = bench_e2e_atrate(n_ants=4, n_pols=2, n_chans=256,
+                             spectra=32, n_chunks=4,
+                             packet_samples=4096, impl="jnp")
+        assert r.extra["dumps_verified"] is True
+        assert len(r.extra["dump_snrs_db"]) == 2
+        assert all(s > 50 for s in r.extra["dump_snrs_db"])
+        st = r.extra["ingest_stats"]
+        assert st["packets_late"] == 0 and st["packets_bad"] == 0
+        assert r.value > 0
