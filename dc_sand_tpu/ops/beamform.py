@@ -231,7 +231,7 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
                   + k1n * p * 2 * nb * b * 4       # out block / plane
                   + k1n * 4 * nb * 2 * a * 2)      # w2t / plane
         while (pg * 2 <= m2 and m2 % (pg * 2) == 0
-               and (pg * 2) * per_pl <= 72 * 1024 * 1024):
+               and (pg * 2) * per_pl <= 48 * 1024 * 1024):
             pg *= 2
     else:
         if m2 % _pg:
