@@ -251,7 +251,8 @@ def xcorr_accumulate_a2(acc: jax.Array, a2: jax.Array,
 
 
 def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
-                        z_scr, *, ap, bc, k1n, kg, bt, ablate=()):
+                        z_scr, *, ap, bc, k1n, kg, bt, ablate=(),
+                        m2major=False):
     """Fused relayout + CMAC for one (k2-plane, b-tile, k1-group) grid step.
 
     The native F-engine layout has channel k1 on the LANE axis, but the
@@ -306,8 +307,10 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
         # tile 4x.
         if "relayout" not in ablate:
             for tb in range(bc // bt):
-                x2 = qn_ref[:, 0, :, tb * bt:(tb + 1) * bt, :].transpose(
-                    1, 0, 2, 3)                    # (2, ap, bt, k1n)
+                sl = slice(tb * bt, (tb + 1) * bt)
+                blk = (qn_ref[0, :, :, sl, :] if m2major
+                       else qn_ref[:, 0, :, sl, :])
+                x2 = blk.transpose(1, 0, 2, 3)     # (2, ap, bt, k1n)
                 zt = jax.lax.dot_general(
                     eye_ref[...], x2, (((1,), (3,)), ((), ())),
                     preferred_element_type=jnp.int32)  # (k1n,2,ap,bt)
@@ -350,7 +353,7 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
 
 def _cmac_native_kernel_single(keep_ref, qn_ref, eye_ref, acc_ref,
                                out_ref, z_scr, *, ap, bc, k1n, kg, bt,
-                               ablate=()):
+                               ablate=(), m2major=False):
     """Single-b-tile variant (nt == 1): the round-3 shape — acc/out as
     per-(k2, g) blocks on a 2-D grid.  Measured 4.4 ms vs the
     plane-resident variant's 6.0 ms at the b=512 contract chunk (the
@@ -363,8 +366,10 @@ def _cmac_native_kernel_single(keep_ref, qn_ref, eye_ref, acc_ref,
     def _():
         if "relayout" not in ablate:
             for tb in range(bc // bt):
-                x2 = qn_ref[:, 0, :, tb * bt:(tb + 1) * bt, :].transpose(
-                    1, 0, 2, 3)
+                sl = slice(tb * bt, (tb + 1) * bt)
+                blk = (qn_ref[0, :, :, sl, :] if m2major
+                       else qn_ref[:, 0, :, sl, :])
+                x2 = blk.transpose(1, 0, 2, 3)
                 zt = jax.lax.dot_general(
                     eye_ref[...], x2, (((1,), (3,)), ((), ())),
                     preferred_element_type=jnp.int32)
@@ -392,7 +397,8 @@ def _cmac_native_kernel_single(keep_ref, qn_ref, eye_ref, acc_ref,
 
 def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
                             reset=None, impl: str = "auto",
-                            _ablate: tuple = ()) -> jax.Array:
+                            _ablate: tuple = (),
+                            _m2major: bool = False) -> jax.Array:
     """Streaming X-engine integration STRAIGHT from the fused F-engine's
     native plane layout (no materialised corner-turn).
 
@@ -416,8 +422,14 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
         if flag not in ("relayout", "cmac"):
             raise ValueError(f"unknown ablate flag {flag!r}")
     impl = resolve_impl(impl)
-    a, p, m2, _, b, k1n = qn.shape
-    ap = a * p
+    if _m2major:
+        # bench/attribution probe: qn arrives pre-arranged
+        # (m2, ap, 2, b, k1n) so every k2-plane block is one contiguous
+        # HBM slab (isolates the strided-fetch share of the DMA cost)
+        m2, ap, _, b, k1n = qn.shape
+    else:
+        a, p, m2, _, b, k1n = qn.shape
+        ap = a * p
     # spectra-tile pick: the largest 128-multiple divisor of b whose
     # VMEM residents fit — the double-buffered qn tile
     # (2*ap*bc*k1n int8 x2), the int8 z relayout scratch
@@ -436,6 +448,9 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
     keep = (jnp.int32(1) if reset is None
             else 1 - jnp.asarray(reset).astype(jnp.int32))
     if not ok:
+        if _m2major:
+            raise ValueError("_m2major probe needs a kernel-eligible "
+                             "shape")
         if reset is not None:
             acc = acc * keep
         a2 = qn.transpose(2, 5, 3, 0, 1, 4).reshape(
@@ -447,7 +462,15 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
     kg = min(16, k1n)
     while k1n % kg:
         kg -= 1
-    qn2 = qn.reshape(ap, m2, 2, b, k1n)
+    qn2 = qn if _m2major else qn.reshape(ap, m2, 2, b, k1n)
+    if _m2major:
+        qn_block = (1, ap, 2, bc, k1n)
+        qn_ix2 = lambda k2, g: (k2, 0, 0, 0, 0)          # noqa: E731
+        qn_ix3 = lambda k2, t, g: (k2, 0, 0, t, 0)       # noqa: E731
+    else:
+        qn_block = (ap, 1, 2, bc, k1n)
+        qn_ix2 = lambda k2, g: (0, k2, 0, 0, 0)          # noqa: E731
+        qn_ix3 = lambda k2, t, g: (0, k2, 0, t, 0)       # noqa: E731
     eye = jnp.asarray(np.eye(k1n, dtype=np.int8))
     acc4 = acc.reshape(m2, k1n, ap, ap)
     nt = b // bc
@@ -457,12 +480,11 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
         out = pl.pallas_call(
             functools.partial(_cmac_native_kernel_single, ap=ap, bc=bc,
                               k1n=k1n, kg=kg, bt=bt,
-                              ablate=tuple(_ablate)),
+                              ablate=tuple(_ablate), m2major=_m2major),
             grid=(m2, k1n // kg),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((ap, 1, 2, bc, k1n),
-                             lambda k2, g: (0, k2, 0, 0, 0),
+                pl.BlockSpec(qn_block, qn_ix2,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((k1n, k1n), lambda k2, g: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -483,12 +505,12 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
         return out.reshape(acc.shape)
     out = pl.pallas_call(
         functools.partial(_cmac_native_kernel, ap=ap, bc=bc, k1n=k1n,
-                          kg=kg, bt=bt, ablate=tuple(_ablate)),
+                          kg=kg, bt=bt, ablate=tuple(_ablate),
+                          m2major=_m2major),
         grid=(m2, nt, k1n // kg),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((ap, 1, 2, bc, k1n),
-                         lambda k2, t, g: (0, k2, 0, t, 0),
+            pl.BlockSpec(qn_block, qn_ix3,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k1n, k1n), lambda k2, t, g: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -584,6 +584,33 @@ class TestXcorrAccumulate:
         ref = np.asarray(ops.xcorr_accumulate_a2(acc0, a2, impl="jnp"))
         np.testing.assert_array_equal(got, ref)
 
+    def test_native_kernel_m2major_probe_bitwise(self):
+        """The _m2major bench probe (qn pre-arranged (m2, ap, 2, b,
+        k1n) so plane blocks are contiguous HBM slabs) computes the
+        same accumulator as the production ap-major layout."""
+        rng = np.random.default_rng(9)
+        a, p, m2, k1n, b = 4, 2, 2, 128, 256
+        qn = jnp.asarray(rng.integers(-127, 128, (a, p, m2, 2, b, k1n),
+                                      dtype=np.int8))
+        acc0 = jnp.asarray(rng.integers(
+            -1000, 1000, ops.acc_shape(a, p, m2 * k1n), dtype=np.int32))
+        ref = np.asarray(ops.xcorr_accumulate_native(
+            acc0, qn, impl="pallas_interpret"))
+        qn5 = qn.reshape(a * p, m2, 2, b, k1n).transpose(1, 0, 2, 3, 4)
+        got = np.asarray(ops.xcorr_accumulate_native(
+            acc0, qn5, impl="pallas_interpret", _m2major=True))
+        np.testing.assert_array_equal(got, ref)
+        # and on the multi-tile grid (b=1280 -> bc=256, nt=5)
+        b3 = 1280
+        qnc = jnp.asarray(rng.integers(-127, 128, (a, p, m2, 2, b3, k1n),
+                                       dtype=np.int8))
+        ref3 = np.asarray(ops.xcorr_accumulate_native(
+            acc0, qnc, impl="pallas_interpret"))
+        qn5c = qnc.reshape(a * p, m2, 2, b3, k1n).transpose(1, 0, 2, 3, 4)
+        got3 = np.asarray(ops.xcorr_accumulate_native(
+            acc0, qn5c, impl="pallas_interpret", _m2major=True))
+        np.testing.assert_array_equal(got3, ref3)
+
     def test_native_kernel_admits_long_integration_tiles(self):
         """b > 1024 (outside round 2's fp32 bf16-dot exactness bound)
         is legal for the s32-accumulating int8 kernel — the runner's
