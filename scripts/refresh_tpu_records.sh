@@ -51,6 +51,8 @@ run 2400 "fx step 64-ant 4k" $PY -m dc_sand_tpu.cli bench fx --scale 4096
 run 2400 "beam step config-5" $PY -m dc_sand_tpu.cli bench beam-step
 run 1200 "xcorr native CMAC" $PY -m dc_sand_tpu.cli bench xcorr
 run 1200 "beamform kernels" $PY -m dc_sand_tpu.cli bench beamform
+run 2400 "e2e at-rate rehearsal (device in the loop)" \
+    $PY -m dc_sand_tpu.cli bench e2e
 
 echo "=== regress check"
 timeout 120 $PY -m dc_sand_tpu.cli regress || true
