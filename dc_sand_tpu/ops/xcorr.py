@@ -294,47 +294,47 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
       (int32 addition is associative, so the b regrouping is exact).
     """
     t = pl.program_id(1)
-    g = pl.program_id(2)
 
-    @pl.when(g == 0)
-    def _():  # noqa: F811
-        # qn block (ap, 1, 2, bc, k1n) int8 — fetched once per (k2, t)
-        # (the index map repeats across g, so Pallas skips the
-        # re-fetch).  The (ap, 2) -> (2, ap) transpose permutes MAJOR
-        # dims only (a vreg relabeling, not an intra-vreg shuffle) and
-        # keeps both the dot output and the scratch minor-dims as
-        # (ap, b*) — a (2, b) minor layout would pad every sublane
-        # tile 4x.
-        if "relayout" not in ablate:
-            for tb in range(bc // bt):
-                sl = slice(tb * bt, (tb + 1) * bt)
-                blk = (qn_ref[0, :, :, sl, :] if m2major
-                       else qn_ref[:, 0, :, sl, :])
-                x2 = blk.transpose(1, 0, 2, 3)     # (2, ap, bt, k1n)
-                zt = jax.lax.dot_general(
-                    eye_ref[...], x2, (((1,), (3,)), ((), ())),
-                    preferred_element_type=jnp.int32)  # (k1n,2,ap,bt)
-                z_scr[:, :, :, tb * bt:(tb + 1) * bt] = zt.astype(
-                    jnp.int8)
+    # qn block — fetched once per (k2, t); the b-tile axis t is the
+    # INNERMOST grid axis, so the acc/out plane windows (indexed by k2
+    # only) follow the canonical accumulate-across-innermost pattern
+    # Mosaic pipelines: the next (k2, t) qn fetch overlaps this step's
+    # relayout+CMAC, and the plane flushes once per k2.  (The earlier
+    # (k2, t, g) grid with a k1-group axis measured fully SERIAL —
+    # wall == DMA + MXU exactly.)  The (ap, 2) -> (2, ap) transpose
+    # permutes MAJOR dims only and keeps the scratch minor-dims as
+    # (ap, b*) — a (2, b) minor layout would pad every sublane tile 4x.
+    if "relayout" not in ablate:
+        for tb in range(bc // bt):
+            sl = slice(tb * bt, (tb + 1) * bt)
+            blk = (qn_ref[0, :, :, sl, :] if m2major
+                   else qn_ref[:, 0, :, sl, :])
+            x2 = blk.transpose(1, 0, 2, 3)     # (2, ap, bt, k1n)
+            zt = jax.lax.dot_general(
+                eye_ref[...], x2, (((1,), (3,)), ((), ())),
+                preferred_element_type=jnp.int32)  # (k1n,2,ap,bt)
+            z_scr[:, :, :, tb * bt:(tb + 1) * bt] = zt.astype(
+                jnp.int8)
 
     # integration-window reset rides into the accumulate (keep = 0
     # zeroes the carry) — a lax.cond at the XLA level costs a full
     # copy of the accumulator on its identity arm.  The carry base is
     # the HBM accumulator only on the FIRST b-tile; later tiles chain
-    # through the VMEM-resident out block.
+    # through the VMEM-resident out window.
     keep = keep_ref[0]
     first = t == 0
     if "cmac" in ablate:
         # attribution mode: skip the per-channel dots, still touch the
         # acc blocks (isolates relayout + DMA cost)
-        @pl.when(first & (g == 0))
+        @pl.when(first)
         def _():
             out_ref[...] = acc_ref[...] * keep
         return
     mask = _pack_mask(ap, kernel=True)
-    zg = z_scr[pl.ds(g * kg, kg)]                  # (kg, 2, ap, bc)
-    for j in range(kg):
-        zr, zi = zg[j, 0], zg[j, 1]
+
+    def body(j, carry):
+        zr = z_scr[j, 0]
+        zi = z_scr[j, 1]
 
         def dot(x, y):
             return jax.lax.dot_general(
@@ -343,12 +343,13 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
 
         dr = dot(zr, zr) + dot(zi, zi)
         di = dot(zi, zr) - dot(zr, zi)
-        row = g * kg + j
         # out_ref is undefined before its first write at t == 0; the
         # where() discards that lane, so the read is safe
-        base = jnp.where(first, acc_ref[0, row] * keep,
-                         out_ref[0, row])
-        out_ref[0, row] = base + jnp.where(mask, dr, di)
+        base = jnp.where(first, acc_ref[0, j] * keep, out_ref[0, j])
+        out_ref[0, j] = base + jnp.where(mask, dr, di)
+        return carry
+
+    jax.lax.fori_loop(0, k1n, body, 0, unroll=kg)
 
 
 def _cmac_native_kernel_single(keep_ref, qn_ref, eye_ref, acc_ref,
@@ -398,7 +399,8 @@ def _cmac_native_kernel_single(keep_ref, qn_ref, eye_ref, acc_ref,
 def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
                             reset=None, impl: str = "auto",
                             _ablate: tuple = (),
-                            _m2major: bool = False) -> jax.Array:
+                            _m2major: bool = False,
+                            _bc: int = None) -> jax.Array:
     """Streaming X-engine integration STRAIGHT from the fused F-engine's
     native plane layout (no materialised corner-turn).
 
@@ -439,10 +441,16 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
     # 50 + 17 + 17 MB, measured good under the kernel limit.
     bt = 128
     fixed = 8 * ap * k1n * bt + 8 * k1n * ap * ap
-    bc = min(b, 512) - min(b, 512) % 128
-    while bc >= 128 and (b % bc or
-                         6 * ap * bc * k1n + fixed > 96 * 1024 * 1024):
-        bc -= 128
+    if _bc is not None:
+        if b % _bc or _bc % 128:
+            raise ValueError(f"_bc={_bc} must divide b={b}, %128")
+        bc = _bc
+    else:
+        bc = min(b, 512) - min(b, 512) % 128
+        while bc >= 128 and (b % bc or
+                             6 * ap * bc * k1n + fixed
+                             > 96 * 1024 * 1024):
+            bc -= 128
     ok = (impl.startswith("pallas") and k1n % 128 == 0 and bc >= 128
           and ap % 8 == 0 and acc.shape[0] == m2 * k1n)
     keep = (jnp.int32(1) if reset is None
@@ -466,11 +474,11 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
     if _m2major:
         qn_block = (1, ap, 2, bc, k1n)
         qn_ix2 = lambda k2, g: (k2, 0, 0, 0, 0)          # noqa: E731
-        qn_ix3 = lambda k2, t, g: (k2, 0, 0, t, 0)       # noqa: E731
+        qn_ix3 = lambda k2, t: (k2, 0, 0, t, 0)          # noqa: E731
     else:
         qn_block = (ap, 1, 2, bc, k1n)
         qn_ix2 = lambda k2, g: (0, k2, 0, 0, 0)          # noqa: E731
-        qn_ix3 = lambda k2, t, g: (0, k2, 0, t, 0)       # noqa: E731
+        qn_ix3 = lambda k2, t: (0, k2, 0, t, 0)          # noqa: E731
     eye = jnp.asarray(np.eye(k1n, dtype=np.int8))
     acc4 = acc.reshape(m2, k1n, ap, ap)
     nt = b // bc
@@ -507,19 +515,19 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
         functools.partial(_cmac_native_kernel, ap=ap, bc=bc, k1n=k1n,
                           kg=kg, bt=bt, ablate=tuple(_ablate),
                           m2major=_m2major),
-        grid=(m2, nt, k1n // kg),
+        grid=(m2, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(qn_block, qn_ix3,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k1n, k1n), lambda k2, t, g: (0, 0),
+            pl.BlockSpec((k1n, k1n), lambda k2, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k1n, ap, ap),
-                         lambda k2, t, g: (k2, 0, 0, 0),
+                         lambda k2, t: (k2, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, k1n, ap, ap),
-                               lambda k2, t, g: (k2, 0, 0, 0),
+                               lambda k2, t: (k2, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(acc4.shape, jnp.int32),
         scratch_shapes=[pltpu.VMEM((k1n, 2, ap, bc), jnp.int8)],
