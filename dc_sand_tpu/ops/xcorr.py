@@ -333,16 +333,18 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
     mask = _pack_mask(ap, kernel=True)
 
     def body(j, carry):
-        zr = z_scr[j, 0]
-        zi = z_scr[j, 1]
-
-        def dot(x, y):
-            return jax.lax.dot_general(
-                x, y, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)  # s8xs8->s32 MXU
-
-        dr = dot(zr, zr) + dot(zi, zi)
-        di = dot(zi, zr) - dot(zr, zi)
+        # ONE (2ap, bc) x (2ap, bc)^T s8 dot per channel: the quadrant
+        # matrix [[ArAr', ArAi'], [AiAr', AiAi']] — same MAC count as
+        # the four (ap, bc) dots, one MXU dispatch at full 2ap-row
+        # fill, and the vr/vi combinations become s32 quadrant adds
+        # (no int8 negation anywhere; int32 addition regrouping is
+        # exact, so this is bitwise the four-dot form)
+        z2 = z_scr[j].reshape(2 * ap, bc)
+        quad = jax.lax.dot_general(
+            z2, z2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)      # (2ap, 2ap) s32
+        dr = quad[:ap, :ap] + quad[ap:, ap:]
+        di = quad[ap:, :ap] - quad[:ap, ap:]
         # out_ref is undefined before its first write at t == 0; the
         # where() discards that lane, so the read is safe
         base = jnp.where(first, acc_ref[0, j] * keep, out_ref[0, j])
@@ -382,17 +384,14 @@ def _cmac_native_kernel_single(keep_ref, qn_ref, eye_ref, acc_ref,
         out_ref[...] = acc_ref[...] * keep
         return
     mask = _pack_mask(ap, kernel=True)
-    zg = z_scr[pl.ds(g * kg, kg)]
     for j in range(kg):
-        zr, zi = zg[j, 0], zg[j, 1]
-
-        def dot(x, y):
-            return jax.lax.dot_general(
-                x, y, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
-
-        dr = dot(zr, zr) + dot(zi, zi)
-        di = dot(zi, zr) - dot(zr, zi)
+        # quadrant form — see _cmac_native_kernel.body
+        z2 = z_scr[g * kg + j].reshape(2 * ap, bc)
+        quad = jax.lax.dot_general(
+            z2, z2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        dr = quad[:ap, :ap] + quad[ap:, ap:]
+        di = quad[ap:, :ap] - quad[:ap, ap:]
         out_ref[0, j] = acc_ref[0, j] * keep + jnp.where(mask, dr, di)
 
 
