@@ -351,7 +351,9 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
         out_ref[0, j] = base + jnp.where(mask, dr, di)
         return carry
 
-    jax.lax.fori_loop(0, k1n, body, 0, unroll=kg)
+    # Mosaic lowers fori_loop only at unroll=1 or full unroll; the body
+    # is one big MXU dot, so unrolling buys nothing anyway
+    jax.lax.fori_loop(0, k1n, body, 0, unroll=1)
 
 
 def _cmac_native_kernel_single(keep_ref, qn_ref, eye_ref, acc_ref,
