@@ -139,24 +139,23 @@ def _beam_native_kernel(qn_ref, eye_ref, w2_ref, out_ref,
     def _():
         blk = qn_ref[...]                   # (ap, pg, 2, b, k1n) int8
         x2_scr[...] = blk.reshape(a, p, pg, 2, b, k1n).transpose(
-            2, 3, 0, 1, 4, 5)               # (pg, 2, a, p, b, k1n)
+            2, 1, 3, 0, 4, 5)               # (pg, p, 2, a, b, k1n)
 
+    # per-pol dots on purpose: a pol-merged (…, p, b)-minor layout puts
+    # p = 2 on the SUBLANE axis — 4x vreg padding on the z temp and the
+    # out block (measured 4.9 vs 2.6 ms at the contract shape)
     for pp in range(pg):
-        # ONE relayout dot and ONE beam dot per k1 covering BOTH pols
-        # (pols stacked on the dot's N axis: same contractions, same
-        # per-element accumulation order — bitwise identical to the
-        # per-pol form, at half the dispatch count)
-        z = jax.lax.dot_general(
-            eye_ref[...], x2_scr[pp], (((1,), (4,)), ((), ())),
-            preferred_element_type=jnp.int32)    # (kg, 2, a, p, b)
-        zb = z.astype(jnp.bfloat16)              # exact: int8 range
-        for k1 in range(kg):
-            a2 = zb[k1].reshape(2 * a, p * b)
-            y2 = jax.lax.dot_general(
-                w2_ref[pp, k1], a2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (4nb, p*b)
-            out_ref[pp, k1] = (y2[:2 * nb] + y2[2 * nb:]).reshape(
-                2 * nb, p, b)
+        for pi in range(p):
+            z = jax.lax.dot_general(
+                eye_ref[...], x2_scr[pp, pi], (((1,), (3,)), ((), ())),
+                preferred_element_type=jnp.int32)    # (kg, 2, a, b)
+            zb = z.astype(jnp.bfloat16)              # exact: int8 range
+            for k1 in range(kg):
+                a2 = zb[k1].reshape(2 * a, b)
+                y2 = jax.lax.dot_general(
+                    w2_ref[pp, k1], a2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (4nb, b)
+                out_ref[pp, k1, pi] = y2[:2 * nb] + y2[2 * nb:]
 
 
 def beamform_native(qn: jax.Array, weights: jax.Array,
@@ -215,7 +214,7 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
     if _kg is None:
         per_kg = (p * 2 * nb * b * 4      # out block (fp32)
                   + 4 * nb * 2 * a * 2    # w2t block (bf16)
-                  + 2 * a * p * b * 6)    # z s32 dot temp + bf16 cast
+                  + 2 * a * b * 6)        # z s32 dot temp + bf16 cast
         kg = 8
         for d in range(k1n, 7, -1):
             if k1n % d == 0 and (d % 8 == 0 or d == k1n) \
@@ -256,12 +255,12 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
                          lambda k2, g: (k2, g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((pg, kg, 2 * nb, p, b),
+        out_specs=pl.BlockSpec((pg, kg, p, 2 * nb, b),
                                lambda k2, g: (k2, g, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m2, k1n, 2 * nb, p, b),
+        out_shape=jax.ShapeDtypeStruct((m2, k1n, p, 2 * nb, b),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((pg, 2, a, p, b, k1n), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((pg, p, 2, a, b, k1n), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=(rimpl == "pallas_interpret"),
@@ -270,9 +269,9 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
         # bench/attribution only: the raw kernel layout, isolating the
         # wire-decode transpose's share of the measured wall
         return out
-    # (m2, k1n, [yr;yi](2, nb), p, b) -> wire (nb, p, b, k, 2)
-    out6 = out.reshape(m2, k1n, 2, nb, p, b)
-    return out6.transpose(3, 4, 5, 1, 0, 2).reshape(nb, p, b, k, 2)
+    # (m2, k1n, p, [yr;yi](2, nb), b) -> wire (nb, p, b, k, 2)
+    out6 = out.reshape(m2, k1n, p, 2, nb, b)
+    return out6.transpose(4, 2, 5, 1, 0, 3).reshape(nb, p, b, k, 2)
 
 
 def incoherent_sum_native(qn: jax.Array) -> jax.Array:
