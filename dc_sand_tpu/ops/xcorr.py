@@ -401,7 +401,8 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
                             reset=None, impl: str = "auto",
                             _ablate: tuple = (),
                             _m2major: bool = False,
-                            _bc: int = None) -> jax.Array:
+                            _bc: int = None,
+                            _noalias: bool = False) -> jax.Array:
     """Streaming X-engine integration STRAIGHT from the fused F-engine's
     native plane layout (no materialised corner-turn).
 
@@ -532,7 +533,11 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(acc4.shape, jnp.int32),
         scratch_shapes=[pltpu.VMEM((k1n, 2, ap, bc), jnp.int8)],
-        input_output_aliases={3: 0},
+        # aliasing saves the transient second accumulator ALLOCATION
+        # (traffic is identical either way); _noalias probes whether
+        # the alias's write-before-read ordering serialises the
+        # pipeline
+        input_output_aliases=({} if _noalias else {3: 0}),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=(impl == "pallas_interpret"),
