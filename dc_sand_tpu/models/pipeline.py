@@ -312,6 +312,13 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
                                   if mesh is not None else q, 3, 0)
                 vis_acc = ops.xcorr_accumulate(base, qk, impl=x_impl)
         else:  # beam
+            # int8 beam product quantised IN KERNEL (C10) when no
+            # cross-shard psum or float-consuming Stokes follows — the
+            # fp32 beam plane then never touches HBM (its out write +
+            # wire decode are the kernel's measured bound); bitwise
+            # the XLA-level quantisation of the float path
+            kq = (native_beam and bool(cfg.beam_quant_scale)
+                  and mesh is None and not cfg.beam_stokes)
             if native_beam:
                 # q is native (a, p, m2, 2, B, k1n); the Pallas kernel
                 # relayouts on the MXU in VMEM (weights are per-antenna,
@@ -319,7 +326,9 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
                 b_impl = {"jnp": "jnp",
                           "fused_interpret":
                               "pallas_interpret"}.get(impl, "auto")
-                coh = ops.beamform_native(q, weights, impl=b_impl)
+                coh = ops.beamform_native(
+                    q, weights, impl=b_impl,
+                    quant_scale=(cfg.beam_quant_scale if kq else 0.0))
             else:
                 coh = ops.beamform(q, weights)
             if mesh is not None:
@@ -337,7 +346,7 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
                 # int8 beam quantisation); XLA fuses the elementwise
                 # products into the beamformer output
                 outputs["stokes"] = ops.stokes(coh)
-            if cfg.beam_quant_scale:
+            if cfg.beam_quant_scale and not kq:
                 # int8 beam output (BASELINE.json:11 / SURVEY C10)
                 coh = jnp.clip(
                     jnp.rint(coh * cfg.beam_quant_scale), -127, 127

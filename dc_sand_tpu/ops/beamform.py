@@ -105,7 +105,8 @@ def _beamform_pallas(xr, xi, wr, wi, interpret=False):
 
 
 def _beam_native_kernel(qn_ref, eye_ref, w2_ref, out_ref,
-                        x2_scr, *, a, p, b, k1n, kg, nb, pg):
+                        x2_scr, *, a, p, b, k1n, kg, nb, pg,
+                        qs=0.0):
     """Beamform ``pg`` k2-planes x one k1-group straight from the fused
     F-engine's native layout.
 
@@ -155,11 +156,20 @@ def _beam_native_kernel(qn_ref, eye_ref, w2_ref, out_ref,
                 y2 = jax.lax.dot_general(
                     w2_ref[pp, k1], a2, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (4nb, b)
-                out_ref[pp, k1, pi] = y2[:2 * nb] + y2[2 * nb:]
+                y = y2[:2 * nb] + y2[2 * nb:]
+                if qs:
+                    # C10's int8 beam product, quantised IN KERNEL: the
+                    # fp32 beam plane never touches HBM (the fp32 out
+                    # write + its wire decode were the measured bound
+                    # at 16 beams — 1.8 of 2.6 ms)
+                    y = jnp.clip(jnp.round(y * qs), -127, 127).astype(
+                        jnp.int8)
+                out_ref[pp, k1, pi] = y
 
 
 def beamform_native(qn: jax.Array, weights: jax.Array,
-                    impl: str = "auto", _kg: int = None,
+                    impl: str = "auto", quant_scale: float = 0.0,
+                    _kg: int = None,
                     _pg: int = None, _decode: bool = True) -> jax.Array:
     """Coherent beams STRAIGHT from the fused F-engine's native plane
     layout ``qn: (a, p, m2, 2, b, k1n)`` int8 (no materialised
@@ -167,6 +177,15 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
     2)`` float32 in NATURAL channel order.  Returns wire-format
     ``(beam, p, b, K, 2)`` float32 — numerically the same bf16-split
     product as the wire-layout Pallas kernel.
+
+    ``quant_scale > 0`` quantises IN KERNEL to the contract's int8 beam
+    product (C10): ``clip(rint(y*scale), -127, 127)`` on exactly the
+    fp32 values the unquantised kernel returns (so it is bitwise the
+    XLA-level quantisation of the fp32 output), and the fp32 beam plane
+    never touches HBM — the fp32 out write + its wire decode are the
+    measured bound at 16 beams.  Single-device path only: partial beams
+    that still face a cross-shard psum must stay float (the step
+    quantises after the reduction).
     """
     rimpl = resolve_impl(impl)
     a, p, m2, _, b, k1n = qn.shape
@@ -186,7 +205,11 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
         # decode native -> wire at XLA level, then the normal path:
         # [a, p, k2, c, b, k1] -> [a, p, b, (k1, k2), c]
         x = qn.transpose(0, 1, 4, 5, 2, 3).reshape(a, p, b, k, 2)
-        return beamform(x, weights, impl=impl)
+        y = beamform(x, weights, impl=impl)
+        if quant_scale:
+            y = jnp.clip(jnp.round(y * quant_scale), -127, 127).astype(
+                jnp.int8)
+        return y
     wr, wi = _split_ri(weights)
     # natural k = k2 + m2*k1 -> (m2, k1n, nb, a) native-plane tables
     wr4 = wr.reshape(nb, a, k1n, m2).transpose(3, 2, 0, 1)
@@ -241,9 +264,11 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
             raise ValueError(f"_pg={_pg} must divide m2={m2}")
         pg = _pg
     qn2 = qn.reshape(a * p, m2, 2, b, k1n)
+    out_dtype = jnp.int8 if quant_scale else jnp.float32
     out = pl.pallas_call(
         functools.partial(_beam_native_kernel, a=a, p=p, b=b, k1n=k1n,
-                          kg=kg, nb=nb, pg=pg),
+                          kg=kg, nb=nb, pg=pg,
+                          qs=float(quant_scale)),
         grid=(m2 // pg, k1n // kg),
         in_specs=[
             pl.BlockSpec((a * p, pg, 2, b, k1n),
@@ -259,7 +284,7 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
                                lambda k2, g: (k2, g, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m2, k1n, p, 2 * nb, b),
-                                       jnp.float32),
+                                       out_dtype),
         scratch_shapes=[pltpu.VMEM((pg, p, 2, a, b, k1n), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),

@@ -491,6 +491,29 @@ class TestBeamformPallas:
         inc_w = np.asarray(ops.incoherent_sum(jnp.asarray(x)))
         np.testing.assert_allclose(inc_n, inc_w, rtol=1e-6)
 
+    def test_native_in_kernel_quant_bitwise(self):
+        """quant_scale > 0 quantises IN KERNEL to the C10 int8 beam
+        product — bitwise the XLA-level quantisation of the kernel's
+        own fp32 output (same values, same round-half-even/saturate),
+        on both the Pallas path and the small-shape fallback."""
+        rng = np.random.default_rng(59)
+        s = 0.25
+        for (a, p, m2, k1n, b) in ((4, 2, 2, 128, 128), (2, 2, 2, 8, 4)):
+            k = m2 * k1n
+            nb = 4
+            qn = jnp.asarray(rng.integers(-100, 100,
+                                          (a, p, m2, 2, b, k1n),
+                                          dtype=np.int8))
+            w = jnp.asarray(rng.normal(size=(nb, a, k, 2))
+                            .astype(np.float32))
+            impl = "pallas_interpret" if k1n == 128 else "jnp"
+            f32 = np.asarray(ops.beamform_native(qn, w, impl=impl))
+            ref = np.clip(np.round(f32 * s), -127, 127).astype(np.int8)
+            got = np.asarray(ops.beamform_native(qn, w, impl=impl,
+                                                 quant_scale=s))
+            assert got.dtype == np.int8
+            np.testing.assert_array_equal(got, ref)
+
     def test_native_layout_beamform_fallback_small_shape(self):
         """Shapes the native kernel can't tile decode to wire and take
         the normal path (bitwise vs doing the decode by hand)."""
