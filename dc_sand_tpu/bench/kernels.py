@@ -9,6 +9,8 @@ eyeballed.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,7 +135,7 @@ def bench_xcorr(n_ants: int = 64, n_pols: int = 2, n_chans: int = 4096,
 
 def bench_beamform(n_beams: int = 16, n_ants: int = 64, n_pols: int = 2,
                    n_chans: int = 4096, n_spectra: int = None,
-                   iters: int = 128,
+                   iters: int = 128, quant_scale: float = 0.0,
                    layout: str = "wire") -> BenchResult:
     """Coherent beamformer throughput (C10).
 
@@ -160,7 +162,12 @@ def bench_beamform(n_beams: int = 16, n_ants: int = 64, n_pols: int = 2,
                 jax.random.key(0),
                 (n_ants, n_pols, m2, 2, n_spectra, k1n)) * 30)
             .astype(jnp.int8))())
-        fn = ops.beamform_native
+        # quant_scale > 0 benches the C10 int8 beam product with
+        # in-kernel quantisation (the fp32 out + decode were the
+        # measured 16-beam bound)
+        fn = functools.partial(ops.beamform_native,
+                               quant_scale=quant_scale) \
+            if quant_scale else ops.beamform_native
     else:
         q = jax.block_until_ready(jax.jit(
             lambda: (jax.random.normal(
@@ -175,13 +182,16 @@ def bench_beamform(n_beams: int = 16, n_ants: int = 64, n_pols: int = 2,
     wall = time_throughput(fn, (q, w), iters=iters)
     flops = 4 * 2 * n_beams * n_ants * n_pols * n_spectra * n_chans
     in_bytes = q.size + w.size * 4
-    out_bytes = n_beams * n_pols * n_spectra * n_chans * 2 * 4
+    out_bytes = n_beams * n_pols * n_spectra * n_chans * 2 * (
+        1 if quant_scale else 4)
     return BenchResult(
-        name="beamform" + ("_native" if layout == "native" else ""),
+        name="beamform" + ("_native" if layout == "native" else "")
+             + ("_int8" if quant_scale else ""),
         metric="beamformed samples/s",
         value=n_beams * n_pols * n_spectra * n_chans / wall,
         unit="beam-samples/s", wall_s=wall,
         bytes_moved=in_bytes + out_bytes,
         extra={"fp32_gflops": flops / wall / 1e9, "n_beams": n_beams,
-               "n_ants": n_ants, "n_chans": n_chans, "layout": layout},
+               "n_ants": n_ants, "n_chans": n_chans, "layout": layout,
+               "quant_scale": quant_scale},
     ).finish()

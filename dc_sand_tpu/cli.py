@@ -192,6 +192,10 @@ def _run_bench(args) -> int:
         for layout in ("native", "wire"):
             results.append(bench_beamform(n_chans=args.scale or 4096,
                                           layout=layout))
+        # the C10 int8 beam product (in-kernel quantisation)
+        results.append(bench_beamform(n_chans=args.scale or 4096,
+                                      layout="native",
+                                      quant_scale=0.25))
     elif args.target == "fft":
         from dc_sand_tpu.bench.kernels import bench_fft
         results.extend(bench_fft(n_chans=args.scale or 1024))
