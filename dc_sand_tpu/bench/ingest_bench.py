@@ -384,6 +384,15 @@ def bench_e2e_atrate(n_ants: int = 16, n_pols: int = 2,
                "dumps": len(dumps),
                "overlap": "feeder thread, queue depth "
                           f"{queue_depth}",
+               "transport_note": (
+                   "on the axon dev box the h2d leg rides a tunnel "
+                   "measured at ~0.03-0.1 GB/s (membench_h2d records) "
+                   "with ~25 ms dispatch RPC — ~300x under the "
+                   "13.7 GB/s real-time feed, so this record's rate is "
+                   "transport-bound by construction; host feed "
+                   "(ingest_host: 17.1 Gsamp/s) and device compute "
+                   "(fx_step: >20 Gsamp/s) each separately exceed the "
+                   "floor, and the harness itself overlaps them"),
                "ingest_stats": stats},
     ).finish()
 
