@@ -539,10 +539,7 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
         # pipeline
         input_output_aliases=({} if _noalias else {3: 0}),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=128 * 1024 * 1024,
-            # k2 planes are independent work (only the b-tile axis
-            # carries the in-VMEM accumulation order)
-            dimension_semantics=("parallel", "arbitrary")),
+            vmem_limit_bytes=128 * 1024 * 1024),
         interpret=(impl == "pallas_interpret"),
     )(keep.reshape(1), qn2, eye, acc4)
     return out.reshape(acc.shape)
