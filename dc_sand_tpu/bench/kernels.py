@@ -186,7 +186,8 @@ def bench_beamform(n_beams: int = 16, n_ants: int = 64, n_pols: int = 2,
         1 if quant_scale else 4)
     return BenchResult(
         name="beamform" + ("_native" if layout == "native" else "")
-             + ("_int8" if quant_scale else ""),
+             + ("_int8" if quant_scale else "")
+             + (f"_{n_beams}b" if n_beams != 16 else ""),
         metric="beamformed samples/s",
         value=n_beams * n_pols * n_spectra * n_chans / wall,
         unit="beam-samples/s", wall_s=wall,

@@ -196,6 +196,12 @@ def _run_bench(args) -> int:
         results.append(bench_beamform(n_chans=args.scale or 4096,
                                       layout="native",
                                       quant_scale=0.25))
+        # 64-beam point: full MXU row occupancy (M = 2*beams = 128) —
+        # the shape where the round-3 >=13 TF target was met
+        results.append(bench_beamform(n_beams=64,
+                                      n_chans=args.scale or 4096,
+                                      layout="native",
+                                      quant_scale=0.25))
     elif args.target == "fft":
         from dc_sand_tpu.bench.kernels import bench_fft
         results.extend(bench_fft(n_chans=args.scale or 1024))
