@@ -252,7 +252,7 @@ def xcorr_accumulate_a2(acc: jax.Array, a2: jax.Array,
 
 def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
                         z_scr, *, ap, bc, k1n, kg, bt, ablate=(),
-                        m2major=False):
+                        m2major=False, partmajor=False, unroll=True):
     """Fused relayout + CMAC for one (k2-plane, b-tile, k1-group) grid step.
 
     The native F-engine layout has channel k1 on the LANE axis, but the
@@ -307,9 +307,15 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
     if "relayout" not in ablate:
         for tb in range(bc // bt):
             sl = slice(tb * bt, (tb + 1) * bt)
-            blk = (qn_ref[0, :, :, sl, :] if m2major
-                   else qn_ref[:, 0, :, sl, :])
-            x2 = blk.transpose(1, 0, 2, 3)     # (2, ap, bt, k1n)
+            if partmajor:
+                # (2, ap, bt, k1n) straight from the block — the
+                # part-major qn layout puts (re, im) OUTERMOST so the
+                # (ap, 2) -> (2, ap) major-dim shuffle disappears
+                x2 = qn_ref[:, :, 0, sl, :]
+            else:
+                blk = (qn_ref[0, :, :, sl, :] if m2major
+                       else qn_ref[:, 0, :, sl, :])
+                x2 = blk.transpose(1, 0, 2, 3)     # (2, ap, bt, k1n)
             zt = jax.lax.dot_general(
                 eye_ref[...], x2, (((1,), (3,)), ((), ())),
                 preferred_element_type=jnp.int32)  # (k1n,2,ap,bt)
@@ -351,14 +357,21 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
         out_ref[0, j] = base + jnp.where(mask, dr, di)
         return carry
 
-    # Mosaic lowers fori_loop only at unroll=1 or full unroll; the body
-    # is one big MXU dot, so unrolling buys nothing anyway
-    jax.lax.fori_loop(0, k1n, body, 0, unroll=1)
+    # STATIC channel loop by default: static z_scr/out indices let
+    # Mosaic schedule across channels — measured 10.04 vs 10.58 ms at
+    # b=2048 (s9 probe2) against the dynamic fori_loop, at the cost of
+    # a k1n-times bigger program (compiles fine at k1n=128)
+    if unroll:
+        for j in range(k1n):
+            body(j, 0)
+    else:
+        jax.lax.fori_loop(0, k1n, body, 0, unroll=1)
 
 
 def _cmac_native_kernel_single(keep_ref, qn_ref, eye_ref, acc_ref,
                                out_ref, z_scr, *, ap, bc, k1n, kg, bt,
-                               ablate=(), m2major=False):
+                               ablate=(), m2major=False,
+                               partmajor=False):
     """Single-b-tile variant (nt == 1): the round-3 shape — acc/out as
     per-(k2, g) blocks on a 2-D grid.  Measured 4.4 ms vs the
     plane-resident variant's 6.0 ms at the b=512 contract chunk (the
@@ -372,9 +385,12 @@ def _cmac_native_kernel_single(keep_ref, qn_ref, eye_ref, acc_ref,
         if "relayout" not in ablate:
             for tb in range(bc // bt):
                 sl = slice(tb * bt, (tb + 1) * bt)
-                blk = (qn_ref[0, :, :, sl, :] if m2major
-                       else qn_ref[:, 0, :, sl, :])
-                x2 = blk.transpose(1, 0, 2, 3)
+                if partmajor:
+                    x2 = qn_ref[:, :, 0, sl, :]
+                else:
+                    blk = (qn_ref[0, :, :, sl, :] if m2major
+                           else qn_ref[:, 0, :, sl, :])
+                    x2 = blk.transpose(1, 0, 2, 3)
                 zt = jax.lax.dot_general(
                     eye_ref[...], x2, (((1,), (3,)), ((), ())),
                     preferred_element_type=jnp.int32)
@@ -401,8 +417,10 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
                             reset=None, impl: str = "auto",
                             _ablate: tuple = (),
                             _m2major: bool = False,
+                            _partmajor: bool = False,
                             _bc: int = None,
-                            _noalias: bool = False) -> jax.Array:
+                            _unroll: bool = True,
+                            _noalias: bool = None) -> jax.Array:
     """Streaming X-engine integration STRAIGHT from the fused F-engine's
     native plane layout (no materialised corner-turn).
 
@@ -426,11 +444,18 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
         if flag not in ("relayout", "cmac"):
             raise ValueError(f"unknown ablate flag {flag!r}")
     impl = resolve_impl(impl)
+    if _m2major and _partmajor:
+        raise ValueError("_m2major and _partmajor are exclusive probes")
     if _m2major:
         # bench/attribution probe: qn arrives pre-arranged
         # (m2, ap, 2, b, k1n) so every k2-plane block is one contiguous
         # HBM slab (isolates the strided-fetch share of the DMA cost)
         m2, ap, _, b, k1n = qn.shape
+    elif _partmajor:
+        # probe: qn arrives (2, ap, m2, b, k1n) — (re, im) OUTERMOST, so
+        # the kernel's per-b-tile (ap, 2) -> (2, ap) major-dim shuffle
+        # disappears (isolates the transpose share of the relayout cost)
+        _, ap, m2, b, k1n = qn.shape
     else:
         a, p, m2, _, b, k1n = qn.shape
         ap = a * p
@@ -472,11 +497,16 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
     kg = min(16, k1n)
     while k1n % kg:
         kg -= 1
-    qn2 = qn if _m2major else qn.reshape(ap, m2, 2, b, k1n)
+    qn2 = (qn if _m2major or _partmajor
+           else qn.reshape(ap, m2, 2, b, k1n))
     if _m2major:
         qn_block = (1, ap, 2, bc, k1n)
         qn_ix2 = lambda k2, g: (k2, 0, 0, 0, 0)          # noqa: E731
         qn_ix3 = lambda k2, t: (k2, 0, 0, t, 0)          # noqa: E731
+    elif _partmajor:
+        qn_block = (2, ap, 1, bc, k1n)
+        qn_ix2 = lambda k2, g: (0, 0, k2, 0, 0)          # noqa: E731
+        qn_ix3 = lambda k2, t: (0, 0, k2, t, 0)          # noqa: E731
     else:
         qn_block = (ap, 1, 2, bc, k1n)
         qn_ix2 = lambda k2, g: (0, k2, 0, 0, 0)          # noqa: E731
@@ -490,7 +520,8 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
         out = pl.pallas_call(
             functools.partial(_cmac_native_kernel_single, ap=ap, bc=bc,
                               k1n=k1n, kg=kg, bt=bt,
-                              ablate=tuple(_ablate), m2major=_m2major),
+                              ablate=tuple(_ablate), m2major=_m2major,
+                              partmajor=_partmajor),
             grid=(m2, k1n // kg),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -516,7 +547,8 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
     out = pl.pallas_call(
         functools.partial(_cmac_native_kernel, ap=ap, bc=bc, k1n=k1n,
                           kg=kg, bt=bt, ablate=tuple(_ablate),
-                          m2major=_m2major),
+                          m2major=_m2major, partmajor=_partmajor,
+                          unroll=_unroll),
         grid=(m2, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -534,10 +566,13 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
         out_shape=jax.ShapeDtypeStruct(acc4.shape, jnp.int32),
         scratch_shapes=[pltpu.VMEM((k1n, 2, ap, bc), jnp.int8)],
         # aliasing saves the transient second accumulator ALLOCATION
-        # (traffic is identical either way); _noalias probes whether
-        # the alias's write-before-read ordering serialises the
-        # pipeline
-        input_output_aliases=({} if _noalias else {3: 0}),
+        # (traffic is identical either way) but its write-before-read
+        # ordering SERIALISES the multi-tile pipeline — measured
+        # 10.6 vs 11.75 ms at b=2048 (the s9 sweep) — so nt > 1
+        # defaults to no alias (the acc is a small share of the
+        # call's traffic there); nt == 1 keeps the alias
+        input_output_aliases=(
+            {} if (_noalias or _noalias is None) else {3: 0}),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=(impl == "pallas_interpret"),

@@ -123,6 +123,49 @@ def main() -> int:
                       flush=True)
             del qn
 
+    if "probe2" in which:
+        # session-9 second wave: noalias default / static unroll /
+        # part-major (transpose-free relayout)
+        for b in (512, 2048):
+            qn = make_qn(b)
+            for tag, kw in (("default", {}),
+                            ("unroll", {"_unroll": True}),
+                            ("alias", {"_noalias": False})):
+                if b == 512 and tag == "unroll":
+                    continue   # single-tile path has no unroll knob
+                try:
+                    wall = time_throughput(
+                        lambda q_, a_, kw=kw:
+                            ops.xcorr_accumulate_native(a_, q_, **kw),
+                        (qn, acc), iters=24)
+                    print(json.dumps(
+                        {"probe": "probe2", "b": b, "variant": tag,
+                         "wall_ms": wall * 1e3,
+                         "int8_tops": tops(b, wall)}), flush=True)
+                except Exception as e:
+                    print(f"probe2 b={b} {tag}: {type(e).__name__}: "
+                          f"{e}", flush=True)
+            del qn
+        import jax.numpy as jnp2
+        for b in (512, 2048):
+            qpm = jax.block_until_ready(jax.jit(
+                lambda: (jax.random.normal(
+                    jax.random.key(0), (2, ap, m2, b, k1n)) * 30)
+                .astype(jnp2.int8))())
+            try:
+                wall = time_throughput(
+                    lambda q_, a_: ops.xcorr_accumulate_native(
+                        a_, q_, _partmajor=True),
+                    (qpm, acc), iters=24)
+                print(json.dumps(
+                    {"probe": "probe2", "b": b, "variant": "partmajor",
+                     "wall_ms": wall * 1e3,
+                     "int8_tops": tops(b, wall)}), flush=True)
+            except Exception as e:
+                print(f"probe2 b={b} partmajor: {type(e).__name__}: "
+                      f"{e}", flush=True)
+            del qpm
+
     if "bc" in which:
         qn = make_qn(2048)
         for bc in (128, 256, 512):
