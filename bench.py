@@ -177,11 +177,18 @@ def main() -> None:
     xc = None
     try:
         from dc_sand_tpu.bench.kernels import bench_xcorr
-        xr = bench_xcorr(mode="native", n_spectra=512, iters=32)
+        from dc_sand_tpu.config import get_config
+        # measure at the fx64 preset's OWN chunk size — the shape the
+        # production step dispatches (the cadence is data-driven, see
+        # config.py; n_spectra is stamped in the record/extra either way)
+        xr = bench_xcorr(mode="native",
+                         n_spectra=get_config("fx64").spectra_per_chunk,
+                         iters=32)
         xr.save(rdir)
         xc = {"value": xr.value, "unit": xr.unit,
               "int8_tops": xr.extra.get("int8_tops"),
-              "mode": "native", "n_spectra": 512, "live": True}
+              "mode": "native",
+              "n_spectra": xr.extra.get("n_spectra"), "live": True}
     except Exception as e:
         print(f"bench.py: live xcorr bench failed ({type(e).__name__}: "
               f"{e}); falling back to newest record", file=sys.stderr)

@@ -206,10 +206,17 @@ _CONFIGS = {
         run_xengine=True,
         shard_ants=True,
         shard_chans=True,
-        # larger chunks amortise the X-engine's fixed per-chunk cost
-        # (measured: ~1.7 ms/chunk regardless of spectra count)
-        spectra_per_chunk=256,
-        n_spectra_per_acc=1024,
+        # Production cadence is measured, not guessed: the X-engine's
+        # plane-resident accumulator traffic scales 1/nt with chunk
+        # length (ops/xcorr.py), so bigger chunks win end-to-end even
+        # though the bare 16-stream F-engine prefers 512 — fx_step at
+        # the contract shape on v5e: 512-spectra chunks 25.05, 1024
+        # 25.89, 2048 26.38 Gsamp/s (1.93x the real-time floor; s9
+        # sweep records).  One 2048-spectra chunk is 9.8 ms of stream
+        # and 2.15 GB of native-layout spectra — latency and HBM both
+        # comfortable.  Dump every 4 chunks as before.
+        spectra_per_chunk=2048,
+        n_spectra_per_acc=8192,
     ),
     # 5. "Coherent beamformer (multi-beam weighted sum) + incoherent sum
     #    fused with the 64-antenna F-engine"  [BASELINE.json:11]

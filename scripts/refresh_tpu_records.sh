@@ -35,7 +35,10 @@ EOF
 
 run 400 "headline bench (F-engine 4k + 1k, writes records)" $PY bench.py
 
-run 1200 "verify fx64 (production cadence, record)" \
+# production cadence is now 2048-spectra chunks / 8192-spectra dumps
+# (config.py): the golden window and the tunnel h2d both scale with it,
+# so this step gets the biggest budget
+run 2700 "verify fx64 (production cadence, record)" \
     $PY -m dc_sand_tpu.cli verify fx64 --production-cadence --record
 
 if [ "${1:-}" = "quick" ]; then exit 0; fi
