@@ -419,6 +419,7 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
                             _m2major: bool = False,
                             _partmajor: bool = False,
                             _bc: int = None,
+                            _bt: int = None,
                             _unroll: bool = True,
                             _noalias: bool = None) -> jax.Array:
     """Streaming X-engine integration STRAIGHT from the fused F-engine's
@@ -466,8 +467,12 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
     # (8*ap*k1n*bt), plus the PLANE-RESIDENT packed accumulator in+out
     # blocks (2*4*k1n*ap^2).  Flagship ap=128, bc=512, k1n=128:
     # 50 + 17 + 17 MB, measured good under the kernel limit.
-    bt = 128
+    # relayout sub-tile: bounds the identity dot's int32 temporary
+    # (8*ap*k1n*bt bytes); bigger bt = fewer, wider identity dots
+    bt = _bt or 128
     fixed = 8 * ap * k1n * bt + 8 * k1n * ap * ap
+    if _bt is not None and (_bt % 128 or (_bc or 512) % _bt):
+        raise ValueError(f"_bt={_bt} must be a %128 divisor of bc")
     if _bc is not None:
         if b % _bc or _bc % 128:
             raise ValueError(f"_bc={_bc} must divide b={b}, %128")

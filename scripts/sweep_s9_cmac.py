@@ -166,6 +166,23 @@ def main() -> int:
                       f"{e}", flush=True)
             del qpm
 
+    if "bt" in which:
+        # relayout sub-tile width at the production b=2048 shape
+        qn = make_qn(2048)
+        for bt in (128, 256, 512):
+            try:
+                wall = time_throughput(
+                    lambda q_, a_, bt=bt: ops.xcorr_accumulate_native(
+                        a_, q_, _bt=bt),
+                    (qn, acc), iters=24)
+                print(json.dumps(
+                    {"probe": "bt", "b": 2048, "bt": bt,
+                     "wall_ms": wall * 1e3,
+                     "int8_tops": tops(2048, wall)}), flush=True)
+            except Exception as e:
+                print(f"bt={bt}: {type(e).__name__}: {e}", flush=True)
+        del qn
+
     if "bc" in which:
         qn = make_qn(2048)
         for bc in (128, 256, 512):

@@ -49,47 +49,59 @@ def main() -> int:
     from dc_sand_tpu.bench.pipelines import REALTIME_FLOOR_PER_CHIP
     from dc_sand_tpu.windows import pfb_window
 
-    n_chans, taps = 4096, 16
-    m = 2 * n_chans
-    n_streams, n_spectra = 16, 512
-    n_frames = n_spectra + taps - 1
-    rng = np.random.default_rng(0)
-    x = jax.block_until_ready(jax.jit(
-        lambda: (jax.random.normal(jax.random.key(0),
+    taps = 16
+    shapes = {4096: (64, 128, 256, 512), 1024: (128, 256)}
+    which = sys.argv[1:]
+    for n_chans, m1s in shapes.items():
+        m = 2 * n_chans
+        n_streams, n_spectra = 16, 512
+        n_frames = n_spectra + taps - 1
+        rng = np.random.default_rng(0)
+        x = jax.block_until_ready(jax.jit(
+            lambda n_frames=n_frames, m=m:
+                (jax.random.normal(jax.random.key(0),
                                    (n_streams, n_frames * m)) * 30)
-        .astype(jnp.int8))())
-    w = pfb_window(taps, m)
-    gains = jnp.asarray(np.stack(
-        [np.full((n_chans,), 0.05, np.float32),
-         np.zeros((n_chans,), np.float32)], -1))
-    fd = jnp.asarray(rng.uniform(-0.5, 0.5, (n_streams, n_spectra)),
-                     dtype=jnp.float32)
-    ph = jnp.zeros((n_streams, n_spectra), jnp.float32)
+            .astype(jnp.int8))())
+        w = pfb_window(taps, m)
+        gains = jnp.asarray(np.stack(
+            [np.full((n_chans,), 0.05, np.float32),
+             np.zeros((n_chans,), np.float32)], -1))
+        fd = jnp.asarray(rng.uniform(-0.5, 0.5,
+                                     (n_streams, n_spectra)),
+                         dtype=jnp.float32)
+        ph = jnp.zeros((n_streams, n_spectra), jnp.float32)
 
-    for m1 in (256, 128):
-        def step(xx, fd_, ph_, g_, m1=m1):
-            return fengine_fused(xx, w, taps, n_chans, frac_delay=fd_,
-                                 phase=ph_, gains=g_, m1=m1,
-                                 layout="wire")
-        try:
-            wall = time_throughput(step, (x, fd, ph, gains), iters=96)
-            samples = n_streams * n_spectra * m
-            rate = samples / wall
-            res = BenchResult(
-                name="fengine_m1_sweep",
-                metric="channelized samples/s/chip", value=rate,
-                unit="samp/s", wall_s=wall,
-                bytes_moved=samples + samples // 2,
-                extra={"n_streams": n_streams, "n_spectra": n_spectra,
-                       "n_chans": n_chans, "taps": taps, "m1": m1,
-                       "layout": "wire",
-                       "vs_realtime_floor":
-                           rate / REALTIME_FLOOR_PER_CHIP})
-            res.finish().save(RESULTS)
-            print(json.dumps({"m1": m1, "gsamp_s": rate / 1e9}),
-                  flush=True)
-        except Exception as e:
-            print(f"m1={m1}: {type(e).__name__}: {e}", flush=True)
+        for m1 in m1s:
+            if which and f"{n_chans}:{m1}" not in which:
+                continue
+
+            def step(xx, fd_, ph_, g_, m1=m1, n_chans=n_chans, w=w):
+                return fengine_fused(xx, w, taps, n_chans,
+                                     frac_delay=fd_, phase=ph_,
+                                     gains=g_, m1=m1, layout="wire")
+            try:
+                wall = time_throughput(step, (x, fd, ph, gains),
+                                       iters=96)
+                samples = n_streams * n_spectra * m
+                rate = samples / wall
+                res = BenchResult(
+                    name="fengine_m1_sweep",
+                    metric="channelized samples/s/chip", value=rate,
+                    unit="samp/s", wall_s=wall,
+                    bytes_moved=samples + samples // 2,
+                    extra={"n_streams": n_streams,
+                           "n_spectra": n_spectra,
+                           "n_chans": n_chans, "taps": taps, "m1": m1,
+                           "layout": "wire",
+                           "vs_realtime_floor":
+                               rate / REALTIME_FLOOR_PER_CHIP})
+                res.finish().save(RESULTS)
+                print(json.dumps({"n_chans": n_chans, "m1": m1,
+                                  "gsamp_s": rate / 1e9}),
+                      flush=True)
+            except Exception as e:
+                print(f"n_chans={n_chans} m1={m1}: "
+                      f"{type(e).__name__}: {e}", flush=True)
     return 0
 
 
