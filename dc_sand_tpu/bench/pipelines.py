@@ -47,6 +47,11 @@ def fengine_cost_model(n_chans: int, taps: int = 16,
 
     from dc_sand_tpu.ops.fengine_fused import _factor
     m = 2 * n_chans
+    if m1 is None and m >= 8192:
+        # mirror the kernel's measured wire-layout radix policy
+        # (fengine_fused: m1=128 at m>=8192) so the reported bound is
+        # the bound of the program actually dispatched
+        m1 = 128
     m1v, m2 = _factor(m, m1)
     # VPU: FIR 2*taps; radix-2 stage-1 ~ 5*log2(m2) cplx-ish tile ops;
     # twiddle apply 6; post-stage-2 phasor+gain+quant ~ 16 on the

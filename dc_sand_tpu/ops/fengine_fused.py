@@ -731,6 +731,15 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
     order at dump cadence.
     """
     m = 2 * n_chans
+    # measured stage-2 radix policy (s9 m1 sweep, v5e 16x512 wire):
+    # at m=8192 the m1=128 factorisation wins (19.87 vs 18.28 Gsamp/s
+    # — half the 4*m1 stage-2 MXU FLOPs/sample for one extra stage-1
+    # radix pass; m1=64 collapses to 2.98 on the k1n=32 sub-tile
+    # output, m1=512 to 14.96); at m=2048 m1=256 keeps the edge
+    # (16.07 vs 15.83).  Wire layouts only: the native plane layout
+    # feeds the CMAC/beam kernels, which require k1n = 128.
+    if m1 is None and layout.startswith("wire") and m >= 8192:
+        m1 = 128
     taps_pad = _round_up(taps, 8)
     if history is not None:
         return _fused_split(x, history, window, taps, n_chans,

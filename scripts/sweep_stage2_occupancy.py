@@ -48,7 +48,7 @@ def require_tunnel(timeout_s: float = 240.0):
 
 
 def bench_variant(n_streams, n_spectra, *, tb, groups, fir_mode,
-                  iters, layout="wire", z_mode="scratch"):
+                  iters, layout="wire", z_mode="scratch", m1=None):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -75,7 +75,7 @@ def bench_variant(n_streams, n_spectra, *, tb, groups, fir_mode,
         return fengine_fused(xx, w, TAPS, N_CHANS, frac_delay=fd_,
                              phase=ph_, gains=g_, tb=tb, groups=groups,
                              fir_mode=fir_mode, layout=layout,
-                             z_mode=z_mode)
+                             z_mode=z_mode, m1=m1)
 
     wall = time_throughput(step, (x, fd, ph, gains), iters=iters)
     samples = n_streams * n_spectra * m
@@ -87,7 +87,7 @@ def bench_variant(n_streams, n_spectra, *, tb, groups, fir_mode,
         extra={"n_streams": n_streams, "n_spectra": n_spectra,
                "n_chans": N_CHANS, "taps": TAPS, "tb": tb,
                "groups": groups, "fir_mode": fir_mode, "layout": layout,
-               "z_mode": z_mode,
+               "z_mode": z_mode, "m1": m1,
                "vs_realtime_floor": rate / REALTIME_FLOOR_PER_CHIP},
     ).finish()
     res.save(RESULTS)
