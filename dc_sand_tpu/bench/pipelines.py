@@ -79,13 +79,22 @@ def fengine_cost_model(n_chans: int, taps: int = 16,
 def bench_fengine(n_streams: int = 16, n_spectra: int = 512,
                   n_chans: int = 1024, taps: int = 16,
                   impl: str = "auto", full_chain: bool = True,
-                  stage2: str = None,
+                  stage2: str = None, layout: str = "wire_flat",
                   iters: int = 256) -> BenchResult:
     """F-engine throughput on one chip.
 
     ``full_chain=True`` adds fine-delay/fringe + requant (config-2 shape,
     BASELINE.json:8); False is the bare PFB (config 1).  ``stage2``
     picks the fused kernel's stage-2 precision mode.
+
+    ``layout`` defaults to ``"wire_flat"`` — the form the streaming
+    F-engine mode actually ships (models/pipeline.py:267): byte-identical
+    to the natural-order ``(B, K, 2)`` wire format (consumers reshape for
+    free; see ops/fengine_fused.py), decoded at full copy speed instead
+    of through the (K, 2) minor dim's 2/128 lane tile.  Pass
+    ``layout="wire"`` to time the shaped-array decode instead; the
+    measured delta is the (K, 2)-shape decode penalty (~0.24 ms at 4k),
+    not a data-product difference.
     """
     m = 2 * n_chans
     n_frames = n_spectra + taps - 1
@@ -112,13 +121,14 @@ def bench_fengine(n_streams: int = 16, n_spectra: int = 512,
 
         def step(xx, fd_, ph_, g_):
             return f_engine(xx, w, taps, n_chans, frac_delay=fd_, phase=ph_,
-                            gains=g_, impl=impl, stage2=stage2)
+                            gains=g_, impl=impl, stage2=stage2,
+                            layout=layout)
 
         args = (x, fd, ph, gains)
     else:
         def step(xx):
             return f_engine(xx, w, taps, n_chans, impl=impl,
-                            stage2=stage2)
+                            stage2=stage2, layout=layout)
 
         args = (x,)
 
@@ -131,7 +141,7 @@ def bench_fengine(n_streams: int = 16, n_spectra: int = 512,
     bytes_moved = samples * 1 + out_bytes
     extra = {"n_streams": n_streams, "n_spectra": n_spectra,
              "n_chans": n_chans, "taps": taps, "impl": impl,
-             "stage2": stage2,
+             "stage2": stage2, "layout": layout,
              "vs_realtime_floor": rate / REALTIME_FLOOR_PER_CHIP}
     try:
         extra["cost_model"] = fengine_cost_model(

@@ -343,7 +343,7 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
     # each skips one phase so on-chip deltas attribute the kernel's time
     ab = frozenset(t.strip() for t in (ablate or "").split(",") if t.strip())
     unknown = ab - {"no_fir", "no_fft", "no_twiddle", "no_stage2",
-                    "no_output"}
+                    "no_output", "no_convert"}
     if unknown:
         # a typo'd flag would silently ablate nothing and read as
         # "this phase is free" in an attribution sweep
@@ -460,7 +460,14 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
         else:
             wait_last(slot)
 
-    new_f32 = new_buf[slot].astype(jnp.float32)
+    if "no_convert" in ab:
+        # attribution probe: replace the full int8->fp32 unpack with a
+        # broadcast of one converted row (the scalar read keeps the DMA
+        # live) — isolates the VPU unpack share of the kernel floor
+        new_f32 = jnp.concatenate(
+            [new_buf[slot][0:8].astype(jnp.float32)] * (tb // 8), axis=0)
+    else:
+        new_f32 = new_buf[slot].astype(jnp.float32)
     if "no_fir" in ab:
         fir = new_f32 * w_ref[0, 0]
     else:

@@ -23,7 +23,12 @@ ABLATES = [
     "no_output,no_stage2,no_twiddle",        # - twiddle apply
     "no_output,no_stage2,no_twiddle,no_fft",  # - stage-1 radix
     "no_output,no_stage2,no_twiddle,no_fft,no_fir",  # DMA+decode floor
+    "no_output,no_stage2,no_twiddle,no_fft,no_fir,no_convert",
+    # ^ floor minus the int8->fp32 unpack: what's left is DMA in/out,
+    #   the (wire) decode pass, and per-grid-step fixed cost
 ]
+
+LAYOUT = "wire_flat" if "--flat" in sys.argv else "wire"
 
 
 def main():
@@ -57,7 +62,7 @@ def main():
         def step(xx, fd_, ph_, g_, ab=ab):
             return fengine_fused(xx, w, taps, n_chans, frac_delay=fd_,
                                  phase=ph_, gains=g_, m1=128,
-                                 layout="wire", _ablate=ab)
+                                 layout=LAYOUT, _ablate=ab)
         wall = time_throughput(step, (x, fd, ph, gains), iters=128)
         ms = wall * 1e3
         delta = "" if prev is None else f"  (phase {prev - ms:+.3f} ms)"
