@@ -79,7 +79,7 @@ def fengine_cost_model(n_chans: int, taps: int = 16,
 def bench_fengine(n_streams: int = 16, n_spectra: int = 512,
                   n_chans: int = 1024, taps: int = 16,
                   impl: str = "auto", full_chain: bool = True,
-                  stage2: str = None, layout: str = "wire_flat",
+                  stage2: str = None, layout: str = "wire",
                   iters: int = 256) -> BenchResult:
     """F-engine throughput on one chip.
 
@@ -87,14 +87,12 @@ def bench_fengine(n_streams: int = 16, n_spectra: int = 512,
     BASELINE.json:8); False is the bare PFB (config 1).  ``stage2``
     picks the fused kernel's stage-2 precision mode.
 
-    ``layout`` defaults to ``"wire_flat"`` — the form the streaming
-    F-engine mode actually ships (models/pipeline.py:267): byte-identical
-    to the natural-order ``(B, K, 2)`` wire format (consumers reshape for
-    free; see ops/fengine_fused.py), decoded at full copy speed instead
-    of through the (K, 2) minor dim's 2/128 lane tile.  Pass
-    ``layout="wire"`` to time the shaped-array decode instead; the
-    measured delta is the (K, 2)-shape decode penalty (~0.24 ms at 4k),
-    not a data-product difference.
+    ``layout`` defaults to ``"wire"`` — the natural-order (B, K, 2)
+    form the streaming F-engine mode ships (models/pipeline.py).  With
+    the s10 paired-plane stores (k1n < 128) this is the FASTEST decode
+    at the 4k radix (21.0 vs 15.9 Gsamp/s for the flat-shaped variant,
+    interleaved reps); the flat (B, 2K) byte view remains free for
+    host consumers via np.reshape since the bytes are identical.
     """
     m = 2 * n_chans
     n_frames = n_spectra + taps - 1

@@ -263,8 +263,7 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
                        if cfg.apply_delay else None),
                 gains=gains if quantized else None, impl=impl,
                 stage2=cfg.stage2,
-                layout=("native" if native else
-                        "wire_flat" if mode == "fengine" else "wire"))
+                layout=("native" if native else "wire"))
             # back to (a, p, ...) leading dims for the shared fx/beam
             # tail below (a free leading-axis split)
             q = q.reshape(coarse.shape + q.shape[1:])
@@ -279,9 +278,7 @@ def make_step(cfg: ChainConfig, window, *, max_delay: int = 0,
                          phase=phase if cfg.apply_delay else None,
                          gains=gains if quantized else None, impl=impl,
                          stage2=cfg.stage2,
-                         layout=("native" if native else
-                                 "wire_flat" if mode == "fengine"
-                                 else "wire"))
+                         layout=("native" if native else "wire"))
             new_history = buf[..., chunk.shape[-1]:]
         outputs = {}
         if mode == "fengine":
@@ -464,8 +461,7 @@ def _make_sp_step(cfg: ChainConfig, window, *, mesh, impl: str,
                      phase=phase if cfg.apply_delay else None,
                      gains=gains if quantized else None, impl=impl,
                      stage2=cfg.stage2,
-                     layout=("wire_flat" if mode == "fengine"
-                             else "wire"))
+                     layout="wire")
         # shard 0 received shard n-1's tail = the next chunk's carry;
         # other shards park zeros in their (dead) carry block
         new_history = jnp.where(idx == 0, halo_in,

@@ -336,9 +336,20 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
             frac_ref, phase_ref, gains_ref, out_ref, new_buf,
             hist_buf, hist_stage, z_scratch, sems, *, taps, taps_pad, tb,
             nb, m, m1, m2, groups, dif_offs, quantized, stage2, w_scale,
-            ablate, pad0=0, fir_mode="roll", z_mode="scratch"):
+            ablate, pad0=0, fir_mode="roll", z_mode="scratch",
+            btile=False, opack=False):
     s = pl.program_id(0)
     b = pl.program_id(1)
+    # btile: the out block carries the b-tile as its own leading axis
+    # ((1, 1, 2m2, tb, k1n) over (s, nb, 2m2, tb, k1n)) so each grid
+    # step's writeback is ONE dense 512 KB DMA instead of 2*m2 strided
+    # 4 KB chunks — the kernel floor decomposition (s10) measured the
+    # chunked writeback as the dominant fixed cost
+    oz = (0, 0) if btile else (0,)
+    # opack: each k2 plane's (re | im) pair is ONE (tb, 2*k1n) lane-
+    # concatenated store — a full 128-lane tile at m1=128 (k1n=64),
+    # where the separate re/im stores are half-tile minor dims and the
+    # out writeback measured 219 GB/s vs 546 in (s10 micro-probes)
     # perf-ablation flags (comma-separated, e.g. "no_fir,no_stage2"):
     # each skips one phase so on-chip deltas attribute the kernel's time
     ab = frozenset(t.strip() for t in (ablate or "").split(",") if t.strip())
@@ -646,8 +657,12 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
             cr = cr_all[j * tb:(j + 1) * tb]
             ci = ci_all[j * tb:(j + 1) * tb]
             if "no_output" in ab:
-                out_ref[0, 2 * k2] = cr.astype(out_ref.dtype)
-                out_ref[0, 2 * k2 + 1] = ci.astype(out_ref.dtype)
+                if opack:
+                    out_ref[oz + (k2,)] = jnp.concatenate(
+                        [cr, ci], axis=1).astype(out_ref.dtype)
+                else:
+                    out_ref[oz + (2 * k2,)] = cr.astype(out_ref.dtype)
+                    out_ref[oz + (2 * k2 + 1,)] = ci.astype(out_ref.dtype)
                 continue
             # k2-part of the phasor (per-spectrum complex scalar) ...
             ar = cr * frk - ci * fik
@@ -660,13 +675,20 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
                 gi_ = gains_ref[1, k2]
                 qr = vr * gr - vi * gi_
                 qi = vr * gi_ + vi * gr
-                out_ref[0, 2 * k2] = jnp.clip(
-                    jnp.round(qr), -127, 127).astype(jnp.int8)
-                out_ref[0, 2 * k2 + 1] = jnp.clip(
-                    jnp.round(qi), -127, 127).astype(jnp.int8)
+                if opack:
+                    out_ref[oz + (k2,)] = jnp.clip(jnp.round(
+                        jnp.concatenate([qr, qi], axis=1)),
+                        -127, 127).astype(jnp.int8)
+                else:
+                    out_ref[oz + (2 * k2,)] = jnp.clip(
+                        jnp.round(qr), -127, 127).astype(jnp.int8)
+                    out_ref[oz + (2 * k2 + 1,)] = jnp.clip(
+                        jnp.round(qi), -127, 127).astype(jnp.int8)
+            elif opack:
+                out_ref[oz + (k2,)] = jnp.concatenate([vr, vi], axis=1)
             else:
-                out_ref[0, 2 * k2] = vr
-                out_ref[0, 2 * k2 + 1] = vi
+                out_ref[oz + (2 * k2,)] = vr
+                out_ref[oz + (2 * k2 + 1,)] = vi
             # fold u into the k2 phasor for the next k2
             nfr = frk * ur - fik * ui
             nfi = frk * ui + fik * ur
@@ -702,7 +724,8 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
                   stage2: str = None, m1: int = None, tb: int = None,
                   groups: int = None, layout: str = "wire",
                   strict: bool = False, fir_mode: str = None,
-                  z_mode: str = None,
+                  z_mode: str = None, _btile: bool = None,
+                  _opack: bool = None,
                   interpret: bool = False, _ablate: str = None):
     """Fused F-engine.  ``x: (..., T)`` int8; returns ``(..., B, K, 2)``
     int8 (with ``gains``) or float32 (without).
@@ -754,6 +777,7 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
                             gains=gains, stage2=stage2, m1=m1, tb=tb,
                             groups=groups, layout=layout, strict=strict,
                             fir_mode=fir_mode, z_mode=z_mode,
+                            _btile=_btile, _opack=_opack,
                             interpret=interpret, _ablate=_ablate)
     t_len = x.shape[-1]
     if t_len % m:
@@ -824,14 +848,16 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
         m2=m2, tw=tw, wm=wm, frac_delay=frac_delay, phase=phase,
         gains=gains, stage2=stage2, pad0=0, layout=layout,
         n_chans=n_chans, fir_mode=fir_mode, z_mode=z_mode,
-        interpret=interpret, _ablate=_ablate)
+        _btile=_btile, _opack=_opack, interpret=interpret,
+        _ablate=_ablate)
 
 
 def _fused_split(x, history, window, taps: int, n_chans: int, *,
                  frac_delay=None, phase=None, gains=None, stage2=None,
                  m1=None, tb=None, groups=None, layout="wire",
                  strict=False, fir_mode=None, z_mode=None,
-                 interpret=False, _ablate=None):
+                 _btile=None, _opack=None, interpret=False,
+                 _ablate=None):
     """Split-I/O fused F-engine: chunk ``x (..., B, M)`` + carried
     history ``(..., taps_pad, M)`` as separate kernel refs (no concat,
     no input relayout — see :func:`fengine_fused` docstring)."""
@@ -877,8 +903,8 @@ def _fused_split(x, history, window, taps: int, n_chans: int, *,
             full.reshape(lead + (-1,)), window, taps, n_chans,
             frac_delay=frac_delay, phase=phase, gains=gains,
             stage2=stage2, m1=m1, layout=layout, strict=strict,
-            fir_mode=fir_mode, z_mode=z_mode, interpret=interpret,
-            _ablate=_ablate)
+            fir_mode=fir_mode, z_mode=z_mode, _btile=_btile,
+            _opack=_opack, interpret=interpret, _ablate=_ablate)
     return _launch_fused(
         history.reshape(s, taps_pad, m), x.reshape(s, b_out, m), window,
         s=s, lead=lead, b_out=b_out, nb=b_out // tb, tb=tb,
@@ -886,13 +912,15 @@ def _fused_split(x, history, window, taps: int, n_chans: int, *,
         m2=m2, tw=tw, wm=wm, frac_delay=frac_delay, phase=phase,
         gains=gains, stage2=stage2, pad0=taps_pad - taps + 1,
         layout=layout, n_chans=n_chans, fir_mode=fir_mode,
-        z_mode=z_mode, interpret=interpret, _ablate=_ablate)
+        z_mode=z_mode, _btile=_btile, _opack=_opack,
+        interpret=interpret, _ablate=_ablate)
 
 
 def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
                   groups, taps, taps_pad, m, m1v, m2, tw, wm,
                   frac_delay, phase, gains, stage2, pad0, layout,
-                  n_chans, fir_mode, z_mode, interpret, _ablate):
+                  n_chans, fir_mode, z_mode, _btile, _opack,
+                  interpret, _ablate):
     """Shared pallas_call construction + output decode for both input
     conventions (``pad0 == 0``: ref_a = [history|stream], ref_b = tail
     tile; ``pad0 > 0``: ref_a = history frames, ref_b = chunk frames).
@@ -914,7 +942,26 @@ def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
     # from the small 4x256 probe shape did NOT hold where it matters,
     # so the VMEM Z-scratch staging stays the default.
     z_mode = z_mode or "scratch"
+    # b-tile-major out array: each grid step writes ONE dense
+    # tb*m-byte block instead of 2*m2 strided 4 KB chunks (the s10
+    # floor decomposition's dominant fixed cost).  Wire layouts decode
+    # from either form with one XLA transpose; the native plane
+    # contract keeps the k2-major array (its consumers' BlockSpecs
+    # index k2 planes across the full B axis).
     k1n = m1v // 2
+    btile = False if _btile is None else bool(_btile)
+    # default ON where it was measured to pay: at m1=128 (k1n=64) the
+    # separate re/im stores are HALF a 128-lane tile and the paired
+    # store is exactly one — interleaved on-chip reps 20.3 -> 21.5
+    # Gsamp/s at the 4k wire contract shape; at k1n >= 128 the stores
+    # are already tile-aligned and pairing buys nothing
+    opack = ((k1n < 128 and not btile and layout != "native")
+             if _opack is None else bool(_opack))
+    if (btile or opack) and layout == "native":
+        raise ValueError("_btile/_opack are incompatible with "
+                         "layout='native'")
+    if btile and opack:
+        raise ValueError("_btile and _opack are mutually exclusive")
     assert m2 * k1n == n_chans
     # (S, nb, 1, tb): trailing block dims equal the array dims, which
     # is the only legal way to hand a per-(stream, tile) vector to the
@@ -968,7 +1015,8 @@ def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
         # rows=80: mxu 19.5 vs roll 14.8 at 4k, 17.2 vs 16.4 at 1k;
         # rows=144 (tb=128): roll 16.9 vs mxu 15.1 at 1k
         fir_mode=fir_mode or
-        ("mxu" if taps_pad + tb <= 96 else "roll"))
+        ("mxu" if taps_pad + tb <= 96 else "roll"),
+        btile=btile, opack=opack)
     out_dtype = jnp.int8 if quantized else jnp.float32
     wm_shape = (2 * m1v, m1v)
     out = pl.pallas_call(
@@ -994,10 +1042,21 @@ def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
             pl.BlockSpec((2, m2, k1n), lambda s_, b_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2 * m2, tb, k1n),
-                               lambda s_, b_: (s_, 0, b_, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s, 2 * m2, b_out, k1n), out_dtype),
+        out_specs=(pl.BlockSpec((1, 1, 2 * m2, tb, k1n),
+                                lambda s_, b_: (s_, b_, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+                   if btile else
+                   pl.BlockSpec((1, m2, tb, 2 * k1n),
+                                lambda s_, b_: (s_, 0, b_, 0),
+                                memory_space=pltpu.VMEM)
+                   if opack else
+                   pl.BlockSpec((1, 2 * m2, tb, k1n),
+                                lambda s_, b_: (s_, 0, b_, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=jax.ShapeDtypeStruct(
+            (s, nb, 2 * m2, tb, k1n) if btile
+            else (s, m2, b_out, 2 * k1n) if opack
+            else (s, 2 * m2, b_out, k1n), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, tb, m), ref_b.dtype),
             pltpu.VMEM((taps_pad, m), jnp.float32),
@@ -1024,6 +1083,23 @@ def _launch_fused(ref_a, ref_b, window, *, s, lead, b_out, nb, tb,
     # nesting in the wire K axis, so ONE 5-D transpose does the whole
     # decode (the two-plane gather + stack form cost a second full HBM
     # pass — 1.4 ms of the 5.7 ms dispatch at the 4k bench shape).
+    if opack:
+        # (s, m2, B, [re k1n | im k1n]) -> (s, B, K=(k1,k2), 2)
+        out5 = out.reshape(s, m2, b_out, 2, k1n)
+        tr = out5.transpose(0, 2, 4, 1, 3)
+        if layout == "wire_flat":
+            return tr.reshape(lead + (b_out, 2 * n_chans))
+        return tr.reshape(lead + (b_out, n_chans, 2))
+    if btile:
+        # (s, nb, m2, 2, tb, k1n) -> (s, B, k1n-major channels, 2):
+        # same single XLA transpose as the k2-major decode below, from
+        # the b-tiled array
+        out6 = out.reshape(s, nb, m2, 2, tb, k1n)
+        res = out6.transpose(0, 1, 4, 5, 2, 3).reshape(
+            s, b_out, n_chans, 2)
+        if layout == "wire_flat":
+            return res.reshape(lead + (b_out, 2 * n_chans))
+        return res.reshape(lead + (b_out, n_chans, 2))
     out5 = out.reshape(s, m2, 2, b_out, k1n)
     if layout == "native":
         return out5.reshape(lead + (m2, 2, b_out, k1n))

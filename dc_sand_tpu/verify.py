@@ -176,12 +176,12 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
     spec_g = _golden_spectra(cfg, stream, dm, gains, n_chunks, window)
     snrs: Dict[str, float] = {}
     if runner.mode == "fengine":
-        # spectra ship FLAT (a, p, b, 2K) — the wire bytes in k-major
-        # (re, im) pairs (see fengine_fused layout="wire_flat"); the
-        # host view back to (..., K, 2) is a free np reshape
+        # spectra ship as natural-order (a, p, b, K, 2) wire arrays
+        # (s10: the shaped decode is the FASTEST form at the 4k radix
+        # with paired-plane stores; the flat (b, 2K) byte view is a
+        # free np reshape for consumers that want it)
         got = np.concatenate([np.asarray(o["spectra"])
                               for o in outputs], axis=2)
-        got = got.reshape(got.shape[:-1] + (-1, 2))
         snrs["spectra"] = snr_db(spec_g, np_ri2c(got))
     elif runner.mode == "fx":
         bpa = cfg.n_spectra_per_acc

@@ -168,13 +168,12 @@ def main() -> int:
         b = cfg.spectra_per_chunk
         checked = 0
         for ci, o in enumerate(outs):
-            spectra = o["spectra"]         # FLAT (a, p, b, 2K) wire bytes
+            spectra = o["spectra"]         # (a, p, b, K, 2) wire array
             assert not spectra.is_fully_addressable  # really sharded
             for s in spectra.addressable_shards:
                 idx = tuple(s.index)       # channel axis is unsharded
                 ref = spec_g[idx[0], idx[1], ci * b:(ci + 1) * b, :]
                 got = np.asarray(s.data)
-                got = got.reshape(got.shape[:-1] + (-1, 2))
                 snr = snr_db(ref, np_ri2c(got))
                 assert snr > 50, f"chunk {ci} shard {idx}: {snr:.1f}"
                 checked += 1
