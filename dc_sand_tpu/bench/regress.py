@@ -17,10 +17,81 @@ from __future__ import annotations
 import glob
 import json
 import os
+import subprocess
 import sys
 from collections import defaultdict
 
 TOLERANCE = 0.10  # flag >10% throughput drop
+
+# --- verify-record staleness gate ------------------------------------
+#
+# Rounds 2-4 each shipped kernel rewrites whose on-chip verify records
+# were never refreshed (the >50 dB contract claim then rested on
+# records of code that no longer existed).  This makes the check
+# mechanical: for every judged config, the NEWEST verify record's
+# commit must postdate every commit touching the verified compute path.
+# ``cli regress`` fails red until ``scripts/record_all.sh`` is re-run.
+
+# series that must exist and be fresh (filename prefix under results/)
+VERIFY_SERIES = ("verify_pfb1k", "verify_pfb4k", "verify_fx4",
+                 "verify_fx64", "verify_fx64_production", "verify_beam64")
+
+# paths whose commits invalidate verify records: the kernels, the
+# pipeline/step composition, the golden oracle, and the config presets
+# (a preset cadence flip changes what "production cadence" verifies)
+KERNEL_PATHS = ("dc_sand_tpu/ops", "dc_sand_tpu/models",
+                "dc_sand_tpu/golden", "dc_sand_tpu/config.py",
+                "dc_sand_tpu/verify.py")
+
+
+def _git(args, repo_root):
+    try:
+        r = subprocess.run(["git", *args], capture_output=True, text=True,
+                           timeout=15, cwd=repo_root)
+        return r.returncode, r.stdout.strip()
+    except Exception as e:  # git missing / timeout: report, don't crash
+        return 1, str(e)
+
+
+def verify_staleness(results_dir: str = "bench/results",
+                     repo_root: str | None = None,
+                     head: str = "HEAD") -> list:
+    """Failure messages, one per missing/stale verify series ([] = fresh).
+
+    A series is stale when any commit in ``rec_commit..head`` touches
+    ``KERNEL_PATHS``; missing when no record or an unknown commit.
+    """
+    repo_root = repo_root or os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    failures = []
+    for series in VERIFY_SERIES:
+        recs = []
+        for path in glob.glob(os.path.join(results_dir, series + "_*.json")):
+            stem = os.path.basename(path)[len(series) + 1:-len(".json")]
+            parts = stem.split("_")
+            if len(parts) != 2 or not parts[1].isdigit():
+                continue  # a longer series name sharing the prefix
+            recs.append((int(parts[1]), parts[0]))
+        if not recs:
+            failures.append(f"{series}: NO verify record at all")
+            continue
+        _, commit = max(recs)
+        rc, _ = _git(["cat-file", "-e", commit + "^{commit}"], repo_root)
+        if rc != 0:
+            failures.append(f"{series}: record commit {commit} unknown "
+                            "to this repo")
+            continue
+        rc, out = _git(["log", "--format=%h %s", f"{commit}..{head}",
+                        "--", *KERNEL_PATHS], repo_root)
+        if rc != 0:
+            failures.append(f"{series}: git log failed: {out}")
+        elif out:
+            touching = out.splitlines()
+            failures.append(
+                f"{series}: newest record is at {commit} but "
+                f"{len(touching)} kernel-path commit(s) postdate it "
+                f"(newest: {touching[0]}) — rerun scripts/record_all.sh")
+    return failures
 
 # extra-dict keys that define the measured problem's SHAPE: same-name
 # records differing in any of these are different experiments
@@ -78,7 +149,8 @@ def load_results(results_dir: str = "bench/results"):
     return by_key, rejected
 
 
-def main(results_dir: str = "bench/results") -> int:
+def main(results_dir: str = "bench/results",
+         check_verify: bool | None = None) -> int:
     by_key, rejected = load_results(results_dir)
     for path, why in rejected:
         print(f"REJECTED {os.path.basename(path)}: {why}")
@@ -86,6 +158,15 @@ def main(results_dir: str = "bench/results") -> int:
         print(f"no results under {results_dir}")
         return 0
     failed = False
+    if check_verify is None:
+        # the staleness gate applies to the repo's canonical record set,
+        # not to ad-hoc dirs handed in by tests
+        check_verify = os.path.normpath(results_dir) == \
+            os.path.normpath("bench/results")
+    if check_verify:
+        for msg in verify_staleness(results_dir):
+            print(f"STALE-VERIFY {msg}")
+            failed = True
     for (name, platform, shape), runs in sorted(by_key.items()):
         _, latest, _ = runs[-1]
         label = f"{name} [{platform}]" + (f" ({shape})" if shape else "")

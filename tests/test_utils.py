@@ -126,6 +126,92 @@ class TestRegress:
         assert "[v5e]" in out and "[cpu]" in out
 
 
+class TestVerifyStaleness:
+    """Mechanical gate against the recurring stale-verify-record pattern
+    (VERDICT r2/r3/r4): the newest verify record per judged config must
+    postdate every commit touching the verified compute path."""
+
+    def _write_verify(self, d, series, commit, ts):
+        path = os.path.join(d, f"{series}_{commit}_{ts}.json")
+        with open(path, "w") as f:
+            json.dump({"name": series, "metric": "min stage SNR",
+                       "value": 60.0, "unit": "dB", "wall_s": 1.0}, f)
+
+    def test_missing_series_flagged(self, tmp_path):
+        from dc_sand_tpu.bench.regress import VERIFY_SERIES, verify_staleness
+        msgs = verify_staleness(str(tmp_path))
+        assert len(msgs) == len(VERIFY_SERIES)
+        assert all("NO verify record" in m for m in msgs)
+
+    def test_stale_commit_flagged_fresh_commit_clean(self, tmp_path):
+        """Uses the real repo history: a record stamped at an old
+        kernel-era commit is stale, one stamped at HEAD is fresh."""
+        import subprocess
+        from dc_sand_tpu.bench.regress import VERIFY_SERIES, verify_staleness
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              capture_output=True, text=True,
+                              cwd=repo).stdout.strip()
+        if not head:
+            pytest.skip("no git history available")
+        d = str(tmp_path)
+        # aab9bc5 is the round-3-era commit whose records the round-4
+        # verdict flagged as stale; dozens of ops/ commits postdate it
+        self._write_verify(d, "verify_pfb1k", "aab9bc5", 100)
+        for series in VERIFY_SERIES:
+            if series != "verify_pfb1k":
+                self._write_verify(d, series, head, 100)
+        msgs = verify_staleness(d, repo_root=repo)
+        assert len(msgs) == 1 and "verify_pfb1k" in msgs[0]
+        assert "record_all.sh" in msgs[0]
+
+    def test_newest_record_wins(self, tmp_path):
+        """An old stale record must not shadow a newer fresh one."""
+        import subprocess
+        from dc_sand_tpu.bench.regress import VERIFY_SERIES, verify_staleness
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              capture_output=True, text=True,
+                              cwd=repo).stdout.strip()
+        if not head:
+            pytest.skip("no git history available")
+        d = str(tmp_path)
+        for series in VERIFY_SERIES:
+            self._write_verify(d, series, "aab9bc5", 100)   # stale, older
+            self._write_verify(d, series, head, 200)        # fresh, newer
+        assert verify_staleness(d, repo_root=repo) == []
+
+    def test_unknown_commit_flagged(self, tmp_path):
+        from dc_sand_tpu.bench.regress import VERIFY_SERIES, verify_staleness
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        d = str(tmp_path)
+        for series in VERIFY_SERIES:
+            self._write_verify(d, series, "ffffffff", 100)
+        msgs = verify_staleness(d, repo_root=repo)
+        assert len(msgs) == len(VERIFY_SERIES)
+        assert all("unknown" in m for m in msgs)
+
+    def test_production_suffix_not_mixed_into_base_series(self, tmp_path):
+        """verify_fx64_production files must not parse as verify_fx64
+        records (filename prefix sharing)."""
+        import subprocess
+        from dc_sand_tpu.bench.regress import VERIFY_SERIES, verify_staleness
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              capture_output=True, text=True,
+                              cwd=repo).stdout.strip()
+        if not head:
+            pytest.skip("no git history available")
+        d = str(tmp_path)
+        for series in VERIFY_SERIES:
+            if series != "verify_fx64":
+                self._write_verify(d, series, head, 100)
+        # only the production series exists; base fx64 must still flag
+        msgs = verify_staleness(d, repo_root=repo)
+        assert len(msgs) == 1
+        assert msgs[0].startswith("verify_fx64:")
+
+
 class TestConfigHash:
     def test_stable_and_sensitive(self):
         a = get_config("fx4")
