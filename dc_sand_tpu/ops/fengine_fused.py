@@ -472,9 +472,11 @@ def _kernel(x_hbm, tail_hbm, w_ref, tw_ref, dif_ref, wm_ref, wm_lo_ref,
             wait_last(slot)
 
     if "no_convert" in ab:
-        # attribution probe: replace the full int8->fp32 unpack with a
-        # broadcast of one converted row (the scalar read keeps the DMA
-        # live) — isolates the VPU unpack share of the kernel floor
+        # attribution probe: replace the full int8->fp32 unpack with
+        # tiled copies of one converted 8-row block (the block read
+        # keeps the DMA live) — isolates most of the VPU unpack share
+        # of the kernel floor; the tb//8 concatenates remain, so a
+        # small fraction of the unpack cost stays in the "floor" bucket
         new_f32 = jnp.concatenate(
             [new_buf[slot][0:8].astype(jnp.float32)] * (tb // 8), axis=0)
     else:
@@ -752,7 +754,9 @@ def fengine_fused(x: jax.Array, window, taps: int, n_chans: int, *,
     ``layout="wire_flat"`` decodes the SAME bytes to ``(..., B, 2K)``
     (k-major interleaved re/im pairs — exactly the wire form's
     C-contiguous bytes, so host consumers ``.reshape(..., K, 2)`` for
-    free) at full copy speed; the streaming fengine mode ships this.
+    free) at full copy speed; a bench/API surface (``bench_fengine
+    --flat``) — the pipeline ships the shaped wire form, and a test
+    pins the byte-identity contract between the two.
     ``layout="native"`` returns the kernel's own plane order
     ``(..., m2, 2, B, k1n)`` with channel ``k = k2 + m2*k1`` at
     ``[..., k2, c, b, k1]`` — the FX path consumes this directly (its

@@ -24,8 +24,11 @@ ABLATES = [
     "no_output,no_stage2,no_twiddle,no_fft",  # - stage-1 radix
     "no_output,no_stage2,no_twiddle,no_fft,no_fir",  # DMA+decode floor
     "no_output,no_stage2,no_twiddle,no_fft,no_fir,no_convert",
-    # ^ floor minus the int8->fp32 unpack: what's left is DMA in/out,
-    #   the (wire) decode pass, and per-grid-step fixed cost
+    # ^ floor minus MOST of the int8->fp32 unpack: the probe still
+    #   tiles one converted 8-row block through tb//8 concatenates, so
+    #   a small fraction of the unpack cost remains in this "floor"
+    #   bucket; what's left is DMA in/out, the (wire) decode pass,
+    #   per-grid-step fixed cost, and that concat residue
 ]
 
 LAYOUT = "wire_flat" if "--flat" in sys.argv else "wire"

@@ -306,6 +306,25 @@ class TestFusedFEngine:
         out = fengine_fused(jnp.asarray(x), w, taps, nch, interpret=True)
         assert snr_db(ref, np_ri2c(out)) > 100
 
+    def test_wire_flat_bytes_equal_wire_at_contract_shape(self):
+        """The flat (B, 2K) contract: byte-identical to the shipped
+        shaped wire (B, K, 2) form, at a contract channel count (4096,
+        where the m1=128 opack decode path is the default).  wire_flat
+        is a bench/API surface (the pipeline ships the shaped form);
+        this pins the documented byte contract end-to-end."""
+        from dc_sand_tpu.ops.fengine_fused import fengine_fused
+        taps, nch, B = 4, 4096, 16
+        m, x, w, fd, ph, g = self._data(taps, nch, B, seed=24)
+        kwargs = dict(frac_delay=jnp.asarray(fd), phase=jnp.asarray(ph),
+                      gains=jnp.asarray(np_c2ri(g)), interpret=True)
+        shaped = np.asarray(fengine_fused(jnp.asarray(x), w, taps, nch,
+                                          layout="wire", **kwargs))
+        flat = np.asarray(fengine_fused(jnp.asarray(x), w, taps, nch,
+                                        layout="wire_flat", **kwargs))
+        assert flat.shape == shaped.shape[:-2] + (2 * nch,)
+        np.testing.assert_array_equal(
+            shaped.reshape(flat.shape), flat)
+
     def test_split_io_matches_concat_path(self):
         """Split-I/O mode (chunk + carried history as separate kernel
         refs — the streaming fast path with no concat/relayout) equals
