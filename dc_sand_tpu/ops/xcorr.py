@@ -368,6 +368,81 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
         jax.lax.fori_loop(0, k1n, body, 0, unroll=1)
 
 
+def _cmac_native_kernel_pipe(keep_ref, qn_hbm, eye_ref, acc_ref, out_ref,
+                             qn_buf, z_scr, sems, *, ap, bc, k1n, nt,
+                             bt, unroll=True):
+    """Multi-tile CMAC with a MANUALLY double-buffered qn fetch.
+
+    Same math as :func:`_cmac_native_kernel` (bitwise), different DMA
+    choreography: the s9 multi-tile kernel measured wall == DMA + MXU
+    summed (10.04 ms at b=2048 vs the 6.0 ms DMA floor) — Mosaic's
+    automatic qn block pipelining was NOT overlapping the 16.8 MB
+    per-step fetch with compute (the double-buffered block pair plus
+    plane-resident accumulator and relayout temporaries crowd VMEM).
+    Here qn stays in HBM (``pl.ANY``) and the kernel streams (k2, t)
+    windows through a two-slot VMEM buffer itself, starting the NEXT
+    window's copy (including the (k2+1, 0) window across a plane
+    boundary, overlapping the plane flush) before waiting on the
+    current one — the F-engine kernel's proven pattern
+    (fengine_fused.py new_dma/start_last).
+    """
+    k2, t = pl.program_id(0), pl.program_id(1)
+    m2 = pl.num_programs(0)
+    i = k2 * nt + t
+    slot = jax.lax.rem(i, 2)
+
+    def dma(pk2, pt, pslot):
+        return pltpu.make_async_copy(
+            qn_hbm.at[:, pk2, :, pl.ds(pt * bc, bc), :],
+            qn_buf.at[pslot], sems.at[pslot])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0, 0).start()
+
+    # next window: (k2, t+1), or (k2+1, 0) across the plane boundary
+    @pl.when(i + 1 < m2 * nt)
+    def _():
+        last = t + 1 == nt
+        nk2 = jnp.where(last, k2 + 1, k2)
+        ntile = jnp.where(last, 0, t + 1)
+        dma(nk2, ntile, jax.lax.rem(i + 1, 2)).start()
+
+    dma(k2, t, slot).wait()
+
+    # relayout: identity-dot the lane axis to the front (see
+    # _cmac_native_kernel; qn window is (ap, 2, bc, k1n) in VMEM)
+    for tb in range(bc // bt):
+        sl = slice(tb * bt, (tb + 1) * bt)
+        x2 = qn_buf[slot][:, :, sl, :].transpose(1, 0, 2, 3)
+        zt = jax.lax.dot_general(
+            eye_ref[...], x2, (((1,), (3,)), ((), ())),
+            preferred_element_type=jnp.int32)      # (k1n, 2, ap, bt)
+        z_scr[:, :, :, tb * bt:(tb + 1) * bt] = zt.astype(jnp.int8)
+
+    keep = keep_ref[0]
+    first = t == 0
+    mask = _pack_mask(ap, kernel=True)
+
+    def body(j, carry):
+        # quadrant form — see _cmac_native_kernel.body
+        z2 = z_scr[j].reshape(2 * ap, bc)
+        quad = jax.lax.dot_general(
+            z2, z2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        dr = quad[:ap, :ap] + quad[ap:, ap:]
+        di = quad[ap:, :ap] - quad[:ap, ap:]
+        base = jnp.where(first, acc_ref[0, j] * keep, out_ref[0, j])
+        out_ref[0, j] = base + jnp.where(mask, dr, di)
+        return carry
+
+    if unroll:
+        for j in range(k1n):
+            body(j, 0)
+    else:
+        jax.lax.fori_loop(0, k1n, body, 0, unroll=1)
+
+
 def _cmac_native_kernel_single(keep_ref, qn_ref, eye_ref, acc_ref,
                                out_ref, z_scr, *, ap, bc, k1n, kg, bt,
                                ablate=(), m2major=False,
@@ -421,7 +496,8 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
                             _bc: int = None,
                             _bt: int = None,
                             _unroll: bool = True,
-                            _noalias: bool = None) -> jax.Array:
+                            _noalias: bool = None,
+                            _qn_pipe: bool = None) -> jax.Array:
     """Streaming X-engine integration STRAIGHT from the fused F-engine's
     native plane layout (no materialised corner-turn).
 
@@ -544,6 +620,38 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
             out_shape=jax.ShapeDtypeStruct(acc4.shape, jnp.int32),
             scratch_shapes=[pltpu.VMEM((k1n, 2, ap, bc), jnp.int8)],
             input_output_aliases={3: 0},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024),
+            interpret=(impl == "pallas_interpret"),
+        )(keep.reshape(1), qn2, eye, acc4)
+        return out.reshape(acc.shape)
+    if _qn_pipe and not (_m2major or _partmajor or _ablate):
+        # manual two-slot qn streaming (see _cmac_native_kernel_pipe);
+        # probe layouts and ablations stay on the auto-pipelined kernel
+        out = pl.pallas_call(
+            functools.partial(_cmac_native_kernel_pipe, ap=ap, bc=bc,
+                              k1n=k1n, nt=nt, bt=bt, unroll=_unroll),
+            grid=(m2, nt),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((k1n, k1n), lambda k2, t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k1n, ap, ap),
+                             lambda k2, t: (k2, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, k1n, ap, ap),
+                                   lambda k2, t: (k2, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(acc4.shape, jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((2, ap, 2, bc, k1n), jnp.int8),
+                pltpu.VMEM((k1n, 2, ap, bc), jnp.int8),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            input_output_aliases=(
+                {} if (_noalias or _noalias is None) else {3: 0}),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
             interpret=(impl == "pallas_interpret"),

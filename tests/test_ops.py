@@ -626,6 +626,26 @@ class TestXcorrAccumulate:
         ref = np.asarray(ops.xcorr_accumulate_a2(acc0, a2, impl="jnp"))
         np.testing.assert_array_equal(got, ref)
 
+    @pytest.mark.parametrize("b,bc", [(256, 128), (1280, 256)])
+    def test_native_kernel_qn_pipe_matches_auto_bitwise(self, b, bc):
+        """The manually double-buffered qn-streaming kernel (_qn_pipe:
+        two-slot VMEM windows, cross-plane prefetch) is bitwise the
+        auto-pipelined multi-tile kernel, including reset and a
+        non-zero starting accumulator."""
+        rng = np.random.default_rng(11)
+        a, p, m2, k1n = 4, 2, 2, 128
+        qn = jnp.asarray(rng.integers(-127, 128, (a, p, m2, 2, b, k1n),
+                                      dtype=np.int8))
+        acc0 = jnp.asarray(rng.integers(
+            -1000, 1000, ops.acc_shape(a, p, m2 * k1n), dtype=np.int32))
+        for reset in (None, jnp.bool_(True)):
+            ref = np.asarray(ops.xcorr_accumulate_native(
+                acc0, qn, reset=reset, impl="pallas_interpret", _bc=bc))
+            got = np.asarray(ops.xcorr_accumulate_native(
+                acc0, qn, reset=reset, impl="pallas_interpret", _bc=bc,
+                _qn_pipe=True))
+            np.testing.assert_array_equal(got, ref)
+
     def test_native_kernel_m2major_probe_bitwise(self):
         """The _m2major bench probe (qn pre-arranged (m2, ap, 2, b,
         k1n) so plane blocks are contiguous HBM slabs) computes the
