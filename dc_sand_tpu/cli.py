@@ -180,13 +180,15 @@ def _run_bench(args) -> int:
     elif args.target == "xcorr":
         from dc_sand_tpu.bench.kernels import bench_xcorr
         results.append(bench_xcorr(n_chans=args.scale or 4096))
-        # the production fx step dispatches 512-spectra chunks into the
-        # native-layout kernel — record both at that cadence too (the
-        # accumulator read+write amortises over 2x the spectra)
+        # record the production cadence too — the chunk size the fx64
+        # preset actually dispatches into the native-layout kernel (the
+        # accumulator read+write amortises 1/nt with the chunk)
+        from dc_sand_tpu.config import get_config
+        prod_b = get_config("fx64").spectra_per_chunk
         results.append(bench_xcorr(n_chans=args.scale or 4096,
-                                   n_spectra=512))
+                                   n_spectra=prod_b))
         results.append(bench_xcorr(n_chans=args.scale or 4096,
-                                   n_spectra=512, mode="native"))
+                                   n_spectra=prod_b, mode="native"))
     elif args.target == "beamform":
         from dc_sand_tpu.bench.kernels import bench_beamform
         for layout in ("native", "wire"):
