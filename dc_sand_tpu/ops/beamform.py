@@ -104,6 +104,46 @@ def _beamform_pallas(xr, xi, wr, wi, interpret=False):
     return jnp.stack([out[0], out[1]], axis=-1)
 
 
+def _beam_native_kernel_pmerge(qn_ref, eye_ref, w2_ref, out_ref,
+                               x2_scr, *, a, p, b, k1n, kg, nb, pg,
+                               qs=0.0):
+    """Pol-merged-COLUMNS variant of :func:`_beam_native_kernel`.
+
+    The 16-beam point is fixed-cost-bound: per (plane, pol) relayout
+    dots and per (k1, pol) beam dots at 4nb = 64 MXU rows each.  Here
+    both pols ride the LANE/column axis of every dot — ``p*b`` columns
+    instead of ``b`` — halving the dispatch count at identical MACs.
+    This is NOT the reverted round-4 pol-merge (13a8e2b): that laid
+    ``(..., p, b)`` with p = 2 on the SUBLANE axis (4x vreg padding);
+    here p is folded into the minor/lane axis where b is already a
+    multiple of 128, so every tile stays dense.  Bitwise: each output
+    element is the same contraction, columns are merely batched."""
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        blk = qn_ref[...]                   # (ap, pg, 2, b, k1n) int8
+        x2_scr[...] = blk.reshape(a, p, pg, 2, b, k1n).transpose(
+            2, 3, 0, 1, 4, 5)               # (pg, 2, a, p, b, k1n)
+
+    for pp in range(pg):
+        x4 = x2_scr[pp].reshape(2, a, p * b, k1n)
+        z = jax.lax.dot_general(
+            eye_ref[...], x4, (((1,), (3,)), ((), ())),
+            preferred_element_type=jnp.int32)        # (kg, 2, a, pb)
+        zb = z.astype(jnp.bfloat16)                  # exact: int8 range
+        for k1 in range(kg):
+            a2 = zb[k1].reshape(2 * a, p * b)
+            y2 = jax.lax.dot_general(
+                w2_ref[pp, k1], a2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (4nb, pb)
+            y = y2[:2 * nb] + y2[2 * nb:]
+            if qs:
+                y = jnp.clip(jnp.round(y * qs), -127, 127).astype(
+                    jnp.int8)
+            out_ref[pp, k1] = y
+
+
 def _beam_native_kernel(qn_ref, eye_ref, w2_ref, out_ref,
                         x2_scr, *, a, p, b, k1n, kg, nb, pg,
                         qs=0.0):
@@ -170,7 +210,8 @@ def _beam_native_kernel(qn_ref, eye_ref, w2_ref, out_ref,
 def beamform_native(qn: jax.Array, weights: jax.Array,
                     impl: str = "auto", quant_scale: float = 0.0,
                     _kg: int = None,
-                    _pg: int = None, _decode: bool = True) -> jax.Array:
+                    _pg: int = None, _decode: bool = True,
+                    _pmerge: bool = None) -> jax.Array:
     """Coherent beams STRAIGHT from the fused F-engine's native plane
     layout ``qn: (a, p, m2, 2, b, k1n)`` int8 (no materialised
     corner-turn; channel ``k = k2 + m2*k1``).  ``weights: (beam, a, K,
@@ -234,10 +275,13 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
     # per-pol relayout temporaries) fit a 48 MB budget alongside the
     # fixed x2 scratch + double-buffered qn block; _kg overrides for
     # on-chip sweeps.
+    pm = bool(_pmerge)
     if _kg is None:
         per_kg = (p * 2 * nb * b * 4      # out block (fp32)
                   + 4 * nb * 2 * a * 2    # w2t block (bf16)
-                  + 2 * a * b * 6)        # z s32 dot temp + bf16 cast
+                  # z s32 dot temp + bf16 cast: the pol-merged kernel
+                  # relayouts both pols in one dot, doubling the temp
+                  + 2 * a * (p * b if pm else b) * 6)
         kg = 8
         for d in range(k1n, 7, -1):
             if k1n % d == 0 and (d % 8 == 0 or d == k1n) \
@@ -265,8 +309,15 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
         pg = _pg
     qn2 = qn.reshape(a * p, m2, 2, b, k1n)
     out_dtype = jnp.int8 if quant_scale else jnp.float32
+    kern = _beam_native_kernel_pmerge if pm else _beam_native_kernel
+    out_block = ((pg, kg, 2 * nb, p * b) if pm
+                 else (pg, kg, p, 2 * nb, b))
+    out_sh = ((m2, k1n, 2 * nb, p * b) if pm
+              else (m2, k1n, p, 2 * nb, b))
+    scr_sh = ((pg, 2, a, p, b, k1n) if pm
+              else (pg, p, 2, a, b, k1n))
     out = pl.pallas_call(
-        functools.partial(_beam_native_kernel, a=a, p=p, b=b, k1n=k1n,
+        functools.partial(kern, a=a, p=p, b=b, k1n=k1n,
                           kg=kg, nb=nb, pg=pg,
                           qs=float(quant_scale)),
         grid=(m2 // pg, k1n // kg),
@@ -280,12 +331,12 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
                          lambda k2, g: (k2, g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((pg, kg, p, 2 * nb, b),
-                               lambda k2, g: (k2, g, 0, 0, 0),
+        out_specs=pl.BlockSpec(out_block,
+                               lambda k2, g: ((k2, g, 0, 0) if pm
+                                              else (k2, g, 0, 0, 0)),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m2, k1n, p, 2 * nb, b),
-                                       out_dtype),
-        scratch_shapes=[pltpu.VMEM((pg, p, 2, a, b, k1n), jnp.int8)],
+        out_shape=jax.ShapeDtypeStruct(out_sh, out_dtype),
+        scratch_shapes=[pltpu.VMEM(scr_sh, jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=(rimpl == "pallas_interpret"),
@@ -294,6 +345,10 @@ def beamform_native(qn: jax.Array, weights: jax.Array,
         # bench/attribution only: the raw kernel layout, isolating the
         # wire-decode transpose's share of the measured wall
         return out
+    if pm:
+        # (m2, k1n, [yr;yi](2, nb), p, b) -> wire (nb, p, b, k, 2)
+        out6 = out.reshape(m2, k1n, 2, nb, p, b)
+        return out6.transpose(3, 4, 5, 1, 0, 2).reshape(nb, p, b, k, 2)
     # (m2, k1n, p, [yr;yi](2, nb), b) -> wire (nb, p, b, k, 2)
     out6 = out.reshape(m2, k1n, p, 2, nb, b)
     return out6.transpose(4, 2, 5, 1, 0, 3).reshape(nb, p, b, k, 2)

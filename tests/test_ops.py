@@ -510,6 +510,25 @@ class TestBeamformPallas:
         inc_w = np.asarray(ops.incoherent_sum(jnp.asarray(x)))
         np.testing.assert_allclose(inc_n, inc_w, rtol=1e-6)
 
+    @pytest.mark.parametrize("qs", [0.0, 0.25])
+    def test_native_pmerge_matches_default_bitwise(self, qs):
+        """The pol-merged-COLUMNS kernel (_pmerge: both pols on the
+        lane axis of every relayout/beam dot — NOT the reverted
+        sublane pol-merge) is bitwise the per-pol default kernel,
+        with and without in-kernel quantisation."""
+        rng = np.random.default_rng(61)
+        a, p, m2, k1n, nb, b = 4, 2, 2, 128, 4, 128
+        k = m2 * k1n
+        qn = jnp.asarray(rng.integers(-100, 100, (a, p, m2, 2, b, k1n),
+                                      dtype=np.int8))
+        w = jnp.asarray(rng.normal(size=(nb, a, k, 2)).astype(np.float32))
+        ref = np.asarray(ops.beamform_native(
+            qn, w, impl="pallas_interpret", quant_scale=qs))
+        got = np.asarray(ops.beamform_native(
+            qn, w, impl="pallas_interpret", quant_scale=qs,
+            _pmerge=True))
+        np.testing.assert_array_equal(got, ref)
+
     def test_native_in_kernel_quant_bitwise(self):
         """quant_scale > 0 quantises IN KERNEL to the C10 int8 beam
         product — bitwise the XLA-level quantisation of the kernel's
