@@ -50,10 +50,13 @@ def cmd_verify(args) -> int:
                           time_shards=args.time_shards)
     kw = {}
     if args.production_cadence:
-        # full config cadence (e.g. fx64: 256-spectra chunks, 1024
-        # spectra/dump); golden compared on a random baseline subset
+        # full config cadence (fx64: 2048-spectra chunks, 8192/dump);
+        # golden graded on all pairs among a 12-antenna random subset —
+        # per-antenna float64 evaluation keeps the golden chain ~13 GB
+        # (the all-antenna chain at this cadence peaks >128 GB: the
+        # round-5 refresh lost its production verify to the OOM killer)
         kw = dict(spectra_per_chunk=None, n_spectra_per_acc=None,
-                  baseline_subset=128)
+                  golden_ants=12)
     snrs, counters = verify_config(
         args.config, scale=args.scale, mesh=mesh, impl=args.impl,
         time_shards=args.time_shards, stage2=args.stage2,

@@ -26,12 +26,15 @@ SNR_BOUND = 50.0
 __all__ = ["verify_config", "SNR_BOUND"]
 
 
-def _golden_coarse_stream(cfg, stream, dm, n_chunks):
+def _golden_coarse_stream(cfg, stream, dm, n_chunks, ant_idx=None):
     """Per-chunk read-pointer coarse delay, replicating the runner's host
     feed path bitwise: chunk i is sliced from [zeros(md) | stream] at
     offset ``i*c + md - coarse_i`` with the coarse delay frozen at the
     chunk start.  (A single whole-stream coarse delay is only correct
-    for a non-drifting model — this oracle stays right for d1 != 0.)"""
+    for a non-drifting model — this oracle stays right for d1 != 0.)
+
+    ``ant_idx`` maps ``stream``'s (possibly subset) antenna axis to the
+    delay model's original antenna indices."""
     md = dm.max_delay
     c_samp = cfg.chunk_samples
     xg = np.concatenate(
@@ -41,31 +44,51 @@ def _golden_coarse_stream(cfg, stream, dm, n_chunks):
         coarse, _, _ = dm.evaluate_chunk(
             i * c_samp, cfg.spectra_per_chunk, cfg.fft_size)
         for idx in np.ndindex(stream.shape[:-1]):
-            off = i * c_samp + md - int(coarse[idx])
+            midx = ((int(ant_idx[idx[0]]),) + idx[1:]
+                    if ant_idx is not None else idx)
+            off = i * c_samp + md - int(coarse[midx])
             out[idx][i * c_samp:(i + 1) * c_samp] = xg[idx][off:off + c_samp]
     return out
 
 
-def _golden_spectra(cfg, stream, dm, gains, n_chunks, window):
+def _golden_spectra(cfg, stream, dm, gains, n_chunks, window,
+                    ant_idx=None):
+    """Float64 golden F-engine spectra for ``stream``.
+
+    ``ant_idx`` (optional): evaluate only these antennas (by original
+    index into ``stream``/the delay model), ONE ANTENNA AT A TIME, so
+    peak host memory is bounded by a single antenna's float64
+    intermediates — at the fx64 production cadence (8192-spectra dumps,
+    4k chans) the all-antenna chain peaks >128 GB and gets OOM-killed,
+    which is exactly how the round-5 record refresh lost its
+    production-cadence verify.  Returns spectra for ``ant_idx``'s
+    antennas in that order (all antennas when None)."""
     fracs, phases = [], []
     for i in range(n_chunks):
         _, f, p = dm.evaluate_chunk(i * cfg.chunk_samples,
                                     cfg.spectra_per_chunk, cfg.fft_size)
         fracs.append(f)
         phases.append(p)
-    if cfg.apply_delay:
-        stream = _golden_coarse_stream(cfg, stream, dm, n_chunks)
+    frac = np.concatenate(fracs, -1) if cfg.apply_delay else None
+    phase = np.concatenate(phases, -1) if cfg.apply_delay else None
     lead = (cfg.n_taps - 1) * cfg.fft_size
-    xg = np.concatenate(
-        [np.zeros(stream.shape[:-1] + (lead,)), stream], axis=-1)
-    if not cfg.apply_delay:
-        return golden.f_engine(xg, window, cfg.n_taps, cfg.n_chans,
-                               gains=gains if cfg.apply_requant else None)
-    return golden.f_engine(
-        xg, window, cfg.n_taps, cfg.n_chans,
-        frac_delay=np.concatenate(fracs, -1),
-        phase=np.concatenate(phases, -1),
-        gains=gains if cfg.apply_requant else None)
+
+    def chain(sub, orig_ants):
+        if cfg.apply_delay:
+            sub = _golden_coarse_stream(cfg, sub, dm, n_chunks,
+                                        ant_idx=orig_ants)
+        xg = np.concatenate(
+            [np.zeros(sub.shape[:-1] + (lead,)), sub], axis=-1)
+        kw = dict(gains=gains if cfg.apply_requant else None)
+        if cfg.apply_delay:
+            kw.update(frac_delay=frac[orig_ants], phase=phase[orig_ants])
+        return golden.f_engine(xg, window, cfg.n_taps, cfg.n_chans, **kw)
+
+    if ant_idx is None:
+        return chain(stream, np.arange(stream.shape[0]))
+    return np.concatenate(
+        [chain(stream[orig:orig + 1], np.array([orig]))
+         for orig in ant_idx], axis=0)
 
 
 def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
@@ -75,6 +98,7 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
                   time_shards: int = 1,
                   stage2: Optional[str] = None,
                   baseline_subset: Optional[int] = None,
+                  golden_ants: Optional[int] = None,
                   beam_parallel: bool = False):
     """Run config ``name`` end-to-end; returns ``(snrs, counters)`` —
     per-output SNRs (dB) vs golden plus the runner's counters.
@@ -90,6 +114,14 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
     cores, while the SNR statistic over a random baseline subset x all
     channels (~10^6 values) is equivalent; the device side always
     computes everything.
+    ``golden_ants``: restrict the graded baselines to ALL pairs among a
+    random subset of this many antennas, and evaluate the float64
+    golden spectra ONLY for those antennas (one at a time) — at the
+    fx64 production cadence the all-antenna golden chain peaks >128 GB
+    of float64 intermediates and gets OOM-killed; 12 antennas give 78
+    baselines x 4 pol products x 4k channels (~1.3e6 graded values)
+    within a ~13 GB golden footprint.  Mutually exclusive with
+    ``baseline_subset``; the device still computes every baseline.
     """
     cfg = get_config(name)
     if stage2 is not None:
@@ -173,7 +205,20 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
                          cfg.chunk_samples],
         n_chunks, on_output=lambda i, o: outputs.append(o))
 
-    spec_g = _golden_spectra(cfg, stream, dm, gains, n_chunks, window)
+    if golden_ants is not None:
+        if baseline_subset is not None:
+            raise ValueError("golden_ants and baseline_subset are "
+                             "mutually exclusive")
+        if runner.mode != "fx":
+            raise ValueError("golden_ants applies to fx-mode configs")
+        ants_sel = np.sort(rng.choice(a, min(golden_ants, a),
+                                      replace=False))
+        spec_g = _golden_spectra(cfg, stream, dm, gains, n_chunks,
+                                 window, ant_idx=ants_sel)
+    else:
+        ants_sel = None
+        spec_g = _golden_spectra(cfg, stream, dm, gains, n_chunks,
+                                 window)
     snrs: Dict[str, float] = {}
     if runner.mode == "fengine":
         # spectra ship as natural-order (a, p, b, K, 2) wire arrays
@@ -186,7 +231,17 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
     elif runner.mode == "fx":
         bpa = cfg.n_spectra_per_acc
         pairs = golden.baseline_pairs(a)
-        if baseline_subset is not None and baseline_subset < len(pairs):
+        loc = None
+        if ants_sel is not None:
+            # all canonical baselines whose BOTH antennas are in the
+            # golden subset, with spec_g positions local to the subset
+            pos = {int(x): li for li, x in enumerate(ants_sel)}
+            sel = [(bi, pos[int(i_)], pos[int(j_)])
+                   for bi, (i_, j_) in enumerate(pairs)
+                   if int(i_) in pos and int(j_) in pos]
+            bl_idx = np.array([bi for bi, _, _ in sel])
+            loc = [(li, lj) for _, li, lj in sel]
+        elif baseline_subset is not None and baseline_subset < len(pairs):
             bl_idx = np.sort(rng.choice(len(pairs), baseline_subset,
                                         replace=False))
         else:
@@ -198,9 +253,11 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
             if bl_idx is None:
                 vals.append(snr_db(golden.xcorr(win), got))
             else:
+                idx_pairs = (loc if loc is not None
+                             else pairs[bl_idx])
                 vg = np.stack([
                     np.einsum("pbk,qbk->pqk", win[i_], np.conj(win[j_]))
-                    for (i_, j_) in pairs[bl_idx]])
+                    for (i_, j_) in idx_pairs])
                 vals.append(snr_db(vg, got[bl_idx]))
         snrs["visibilities"] = min(vals) if vals else float("nan")
     else:  # beam

@@ -27,6 +27,33 @@ def test_beam64_passes_scaled():
     assert snrs["incoherent"] > SNR_BOUND
 
 
+def test_golden_ants_subset_passes_and_matches_full():
+    """The memory-bounded production-cadence oracle (golden_ants:
+    per-antenna float64 evaluation, grading all pairs among an antenna
+    subset) passes the bound and agrees with the full-chain grading on
+    the same config/seed (both grade the identical device output, so a
+    subset selection bug would show as a large SNR gap or an indexing
+    crash)."""
+    snrs_sub, _ = verify_config("fx64", scale=128, impl="jnp",
+                                golden_ants=5)
+    assert snrs_sub["visibilities"] > SNR_BOUND, snrs_sub
+    snrs_full, _ = verify_config("fx64", scale=128, impl="jnp")
+    assert snrs_full["visibilities"] > SNR_BOUND
+    # one-sided guard: the subset samples the same error population so
+    # its SNR may exceed the full grading's (even inf when the sampled
+    # baselines carry zero post-requant LSB flips at this small scale),
+    # but a mis-mapped baseline/antenna index would crater it
+    assert snrs_sub["visibilities"] > snrs_full["visibilities"] - 20
+
+
+def test_golden_ants_guards():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        verify_config("fx64", scale=128, impl="jnp", golden_ants=4,
+                      baseline_subset=8)
+    with pytest.raises(ValueError, match="fx-mode"):
+        verify_config("pfb1k", scale=128, impl="jnp", golden_ants=4)
+
+
 def test_misaligned_cadence_rejected():
     """The golden oracle slices exact integration windows while the
     runner dumps at chunk boundaries — a misaligned cadence must raise,
