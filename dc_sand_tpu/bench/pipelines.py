@@ -209,11 +209,20 @@ def _time_compiled_scan(loop, history, vis_acc, chunk, rest,
 
 
 def bench_fx_step(n_ants: int = 64, n_pols: int = 2, n_chans: int = 1024,
-                  n_spectra: int = 256, taps: int = 16,
+                  n_spectra: int = None, taps: int = 16,
                   iters: int = 64) -> BenchResult:
     """End-to-end single-chip FX streaming step (the flagship path:
     full F-engine -> local corner-turn -> X-engine CMAC + accumulate),
-    i.e. ``__graft_entry__.entry``'s program under the valid protocol."""
+    i.e. ``__graft_entry__.entry``'s program under the valid protocol.
+
+    ``n_spectra`` defaults to the fx64 preset's own chunk size — the
+    cadence the production runner dispatches (a 256-spectra default
+    silently understated the headline by ~12% once the preset moved to
+    2048-spectra chunks, whose 1/nt accumulator amortisation is the
+    point of the data-driven cadence)."""
+    if n_spectra is None:
+        from dc_sand_tpu.config import get_config
+        n_spectra = get_config("fx64").spectra_per_chunk
     a, p, k, b = n_ants, n_pols, n_chans, n_spectra
     cfg, step, history, vis_acc, chunk, rest = _step_bench_setup(
         "fx64", taps, jnp.zeros((1, a, k, 2), jnp.float32),
