@@ -43,7 +43,7 @@ run 2700 "verify fx64 (production cadence, record)" \
 
 if [ "${1:-}" = "quick" ]; then exit 0; fi
 
-for cfg in pfb1k pfb4k fx4 beam64; do
+for cfg in pfb1k pfb4k fx4 fx64 beam64; do
   run 900 "verify $cfg (record)" $PY -m dc_sand_tpu.cli verify $cfg --record
 done
 
@@ -54,8 +54,11 @@ run 2400 "fx step 64-ant 4k" $PY -m dc_sand_tpu.cli bench fx --scale 4096
 run 2400 "beam step config-5" $PY -m dc_sand_tpu.cli bench beam-step
 run 1200 "xcorr native CMAC" $PY -m dc_sand_tpu.cli bench xcorr
 run 1200 "beamform kernels" $PY -m dc_sand_tpu.cli bench beamform
+# --spectra 512 bounds the host+replay feed volume (~1.3 GB per path)
+# so BOTH e2e records fit the budget on this box's ~0.03-0.1 GB/s
+# tunnel; the default 2048-spectra shape times the step out (r5)
 run 2400 "e2e at-rate rehearsal (device in the loop)" \
-    $PY -m dc_sand_tpu.cli bench e2e
+    $PY -m dc_sand_tpu.cli bench e2e --spectra 512
 
 echo "=== regress check"
 timeout 120 $PY -m dc_sand_tpu.cli regress || true
