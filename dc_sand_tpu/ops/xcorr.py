@@ -554,7 +554,14 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
             raise ValueError(f"_bc={_bc} must divide b={b}, %128")
         bc = _bc
     else:
-        bc = min(b, 512) - min(b, 512) % 128
+        # multi-tile regime: bc=256 measured fastest at the contract
+        # shape (r5 sweep, b=2048: 8.8 ms vs 9.8 at bc=512 auto; 8.7
+        # with the manual qn pipe) — the smaller window leaves VMEM for
+        # real double-buffering and shortens the critical path; b<1024
+        # keeps the 512 target so bc==b dispatches the measured-faster
+        # single-tile kernel
+        tgt = min(b, 512 if b < 1024 else 256)
+        bc = tgt - tgt % 128
         while bc >= 128 and (b % bc or
                              6 * ap * bc * k1n + fixed
                              > 96 * 1024 * 1024):
@@ -625,6 +632,12 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
             interpret=(impl == "pallas_interpret"),
         )(keep.reshape(1), qn2, eye, acc4)
         return out.reshape(acc.shape)
+    if _qn_pipe is None:
+        # r5 measured default: the manual two-slot qn stream edges the
+        # auto pipeline at every multi-tile point (126.3 vs 124.6 TOPS
+        # at b=2048/bc=256; 112.1 vs 100.6 at b=1024) and never loses;
+        # probe layouts and ablations keep the auto kernel
+        _qn_pipe = nt > 1
     if _qn_pipe and not (_m2major or _partmajor or _ablate):
         # manual two-slot qn streaming (see _cmac_native_kernel_pipe);
         # probe layouts and ablations stay on the auto-pipelined kernel
