@@ -33,7 +33,10 @@ t.start(); t.join(240)
 sys.exit(0 if out else 1)
 EOF
 
-run 400 "headline bench (F-engine 4k + 1k, writes records)" $PY bench.py
+# 1500 s: bench.py's live xcorr row compiles the production CMAC
+# kernel server-side on a cold cache (~10-20 min) — 400 s lost the
+# round-5 headline to exit 124
+run 1500 "headline bench (F-engine 4k + 1k, writes records)" $PY bench.py
 
 # production cadence is now 2048-spectra chunks / 8192-spectra dumps
 # (config.py): the golden window and the tunnel h2d both scale with it,
