@@ -369,8 +369,8 @@ def _cmac_native_kernel(keep_ref, qn_ref, eye_ref, acc_ref, out_ref,
 
 
 def _cmac_native_kernel_pipe(keep_ref, qn_hbm, eye_ref, acc_ref, out_ref,
-                             qn_buf, z_scr, sems, *, ap, bc, k1n, nt,
-                             bt, unroll=True):
+                             qn_buf, z_scr, quad_scr, sems, *, ap, bc,
+                             k1n, nt, bt, unroll=True, epi_hoist=False):
     """Multi-tile CMAC with a MANUALLY double-buffered qn fetch.
 
     Same math as :func:`_cmac_native_kernel` (bitwise), different DMA
@@ -423,6 +423,48 @@ def _cmac_native_kernel_pipe(keep_ref, qn_hbm, eye_ref, acc_ref, out_ref,
     keep = keep_ref[0]
     first = t == 0
     mask = _pack_mask(ap, kernel=True)
+
+    if epi_hoist:
+        # PACK-EPILOGUE HOIST (r5): the per-(step, channel) epilogue —
+        # base select, keep-mul, triangle-pack select, accumulate —
+        # measured as part of the ~5-6 ms serial per-plane COMPUTE that
+        # keeps the kernel off its 6.0 ms DMA floor (DESIGN.md §4).
+        # Here each t-tile only bumps an UNPACKED per-plane (dr, di)
+        # scratch pair (two int32 adds per channel), and the pack +
+        # carried-accumulator base run ONCE per plane at the last tile.
+        # int32 addition is associative/commutative, so the regrouping
+        # is bitwise the chained form.
+        @pl.when(first)
+        def _():
+            quad_scr[...] = jnp.zeros(quad_scr.shape, jnp.int32)
+
+        def body(j, carry):
+            z2 = z_scr[j].reshape(2 * ap, bc)
+            quad = jax.lax.dot_general(
+                z2, z2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            quad_scr[j, 0] += quad[:ap, :ap] + quad[ap:, ap:]
+            quad_scr[j, 1] += quad[ap:, :ap] - quad[:ap, ap:]
+            return carry
+
+        if unroll:
+            for j in range(k1n):
+                body(j, 0)
+        else:
+            jax.lax.fori_loop(0, k1n, body, 0, unroll=1)
+
+        @pl.when(t == nt - 1)
+        def _():
+            def pack(j, carry):
+                out_ref[0, j] = acc_ref[0, j] * keep + jnp.where(
+                    mask, quad_scr[j, 0], quad_scr[j, 1])
+                return carry
+            if unroll:
+                for j in range(k1n):
+                    pack(j, 0)
+            else:
+                jax.lax.fori_loop(0, k1n, pack, 0, unroll=1)
+        return
 
     def body(j, carry):
         # quadrant form — see _cmac_native_kernel.body
@@ -497,7 +539,8 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
                             _bt: int = None,
                             _unroll: bool = True,
                             _noalias: bool = None,
-                            _qn_pipe: bool = None) -> jax.Array:
+                            _qn_pipe: bool = None,
+                            _epi_hoist: bool = None) -> jax.Array:
     """Streaming X-engine integration STRAIGHT from the fused F-engine's
     native plane layout (no materialised corner-turn).
 
@@ -641,9 +684,12 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
     if _qn_pipe and not (_m2major or _partmajor or _ablate):
         # manual two-slot qn streaming (see _cmac_native_kernel_pipe);
         # probe layouts and ablations stay on the auto-pipelined kernel
+        if _epi_hoist is None:
+            _epi_hoist = False  # default pending the on-chip sweep
         out = pl.pallas_call(
             functools.partial(_cmac_native_kernel_pipe, ap=ap, bc=bc,
-                              k1n=k1n, nt=nt, bt=bt, unroll=_unroll),
+                              k1n=k1n, nt=nt, bt=bt, unroll=_unroll,
+                              epi_hoist=_epi_hoist),
             grid=(m2, nt),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -661,6 +707,10 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
             scratch_shapes=[
                 pltpu.VMEM((2, ap, 2, bc, k1n), jnp.int8),
                 pltpu.VMEM((k1n, 2, ap, bc), jnp.int8),
+                # unpacked per-plane (dr, di) accumulator for the
+                # epilogue hoist (tiny dummy when the hoist is off)
+                pltpu.VMEM((k1n, 2, ap, ap) if _epi_hoist
+                           else (1, 2, 8, 128), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             input_output_aliases=(

@@ -646,11 +646,15 @@ class TestXcorrAccumulate:
         np.testing.assert_array_equal(got, ref)
 
     @pytest.mark.parametrize("b,bc", [(256, 128), (1280, 256)])
-    def test_native_kernel_qn_pipe_matches_auto_bitwise(self, b, bc):
+    @pytest.mark.parametrize("epi_hoist", [False, True])
+    def test_native_kernel_qn_pipe_matches_auto_bitwise(self, b, bc,
+                                                        epi_hoist):
         """The manually double-buffered qn-streaming kernel (_qn_pipe:
         two-slot VMEM windows, cross-plane prefetch) is bitwise the
         auto-pipelined multi-tile kernel, including reset and a
-        non-zero starting accumulator."""
+        non-zero starting accumulator — with and without the r5
+        pack-epilogue hoist (per-plane unpacked (dr, di) scratch; int32
+        regrouping is exact)."""
         rng = np.random.default_rng(11)
         a, p, m2, k1n = 4, 2, 2, 128
         qn = jnp.asarray(rng.integers(-127, 128, (a, p, m2, 2, b, k1n),
@@ -662,7 +666,7 @@ class TestXcorrAccumulate:
                 acc0, qn, reset=reset, impl="pallas_interpret", _bc=bc))
             got = np.asarray(ops.xcorr_accumulate_native(
                 acc0, qn, reset=reset, impl="pallas_interpret", _bc=bc,
-                _qn_pipe=True))
+                _qn_pipe=True, _epi_hoist=epi_hoist))
             np.testing.assert_array_equal(got, ref)
 
     def test_native_kernel_m2major_probe_bitwise(self):
