@@ -6,7 +6,8 @@ Mirrors the reference's methodology of a NumPy golden model per CUDA kernel
 (SURVEY.md §4.1).
 """
 
-from .sources import cw_tone, gaussian_noise, quantize_adc  # noqa: F401
+from .sources import (  # noqa: F401
+    cw_tone, gaussian_noise, gaussian_noise_int8, quantize_adc)
 from .chain import (  # noqa: F401
     apply_coarse_delay,
     pfb_fir,

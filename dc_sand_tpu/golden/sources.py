@@ -33,3 +33,29 @@ def quantize_adc(x: np.ndarray) -> np.ndarray:
     to keep the code symmetric (standard correlator convention).
     """
     return np.clip(np.rint(x), -127, 127).astype(np.int8)
+
+
+def gaussian_noise_int8(shape: tuple, sigma: float = 10.0,
+                        seed: int = 0) -> np.ndarray:
+    """``quantize_adc(gaussian_noise(shape, sigma, seed))`` without the
+    float64 footprint — BIT-IDENTICAL output.
+
+    ``gaussian_noise`` materialises the whole float64 array (64 ants x
+    2 pol x 67.1 Msamp at the fx64 production cadence = 68.7 GB) and
+    ``quantize_adc`` adds two more full-size temporaries (rint, clip) —
+    ~200 GB transient, which is how the round-5 production-cadence
+    verify got OOM-killed on a 125 GB host.  ``np.random.Generator``
+    draws normals sequentially with no cross-call batching, so slicing
+    the SAME seeded generator row-by-row in C-order drains the stream
+    identically; each float64 slab is one row (~0.5 GB at production
+    length) and only the int8 result is held.
+    """
+    rng = np.random.default_rng(seed)
+    lead = shape[:-1]
+    out = np.empty(shape, dtype=np.int8)
+    if not lead:
+        return quantize_adc(rng.normal(0.0, sigma, size=shape))
+    flat = out.reshape(-1, shape[-1])
+    for i in range(flat.shape[0]):
+        flat[i] = quantize_adc(rng.normal(0.0, sigma, size=shape[-1]))
+    return out

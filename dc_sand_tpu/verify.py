@@ -174,8 +174,11 @@ def verify_config(name: str, *, n_chunks: int = 4, scale: Optional[int] = None,
         stream = golden.quantize_adc(
             np.broadcast_to(tone, (a, p) + tone.shape))
     else:
-        stream = golden.quantize_adc(golden.gaussian_noise(
-            (a, p, n_chunks * cfg.chunk_samples), 20.0, seed))
+        # slab-wise generation (bit-identical to quantize_adc(
+        # gaussian_noise(...))): the monolithic float64 path peaks
+        # ~200 GB at the fx64 production cadence and OOMs this host
+        stream = golden.gaussian_noise_int8(
+            (a, p, n_chunks * cfg.chunk_samples), 20.0, seed)
 
     gains = np.full(k, 0.05) + 0j
     gains_ri = np.stack([gains.real, gains.imag], -1).astype(np.float32)

@@ -127,6 +127,16 @@ class TestRequant:
         q = golden.requantize(s, np.array([1.0, 1.0]))
         np.testing.assert_array_equal(q, np.array([0 + 2j, 2 + 4j]))
 
+    def test_gaussian_noise_int8_bit_identical(self):
+        """The slab-wise int8 generator (bounded-memory path used by the
+        production-cadence verify) drains the SAME rng stream as the
+        monolithic quantize_adc(gaussian_noise(...)) form."""
+        shape = (3, 2, 1000)
+        ref = golden.quantize_adc(golden.gaussian_noise(shape, 20.0, 5))
+        got = golden.gaussian_noise_int8(shape, 20.0, 5)
+        np.testing.assert_array_equal(got, ref)
+        assert got.dtype == np.int8
+
 
 class TestXcorr:
     def test_auto_is_real_power(self):
