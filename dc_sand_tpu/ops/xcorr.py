@@ -685,7 +685,12 @@ def xcorr_accumulate_native(acc: jax.Array, qn: jax.Array,
         # manual two-slot qn streaming (see _cmac_native_kernel_pipe);
         # probe layouts and ablations stay on the auto-pipelined kernel
         if _epi_hoist is None:
-            _epi_hoist = False  # default pending the on-chip sweep
+            # r5 sweep: NEUTRAL-to-worse at every point (8.93 vs 8.67 ms
+            # at b=2048, 5.29 vs 5.24 at b=1024) — the chained form's
+            # base-select is scalar-predicated, so the per-step epilogue
+            # was already ~4 VPU ops and the hoist only adds scratch
+            # pressure.  Knob kept for attribution.
+            _epi_hoist = False
         out = pl.pallas_call(
             functools.partial(_cmac_native_kernel_pipe, ap=ap, bc=bc,
                               k1n=k1n, nt=nt, bt=bt, unroll=_unroll,
