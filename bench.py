@@ -105,8 +105,36 @@ def _recorded_fallback(reason: str) -> "NoReturn":  # noqa: F821
     raise SystemExit(0)
 
 
+def _arm_deadline(seconds: float) -> None:
+    """Emit the recorded fallback if the LIVE benches overrun.
+
+    The round-5 refresh lost its headline to `timeout 1500 bench.py`
+    exiting 124 with NO output at all — a cold server compile can eat
+    the whole budget.  A live number is still always preferred; this
+    watchdog only fires when the deadline passes, and the emitted line
+    is the same provenance-stamped `stale_recorded` record the
+    dead-tunnel path uses.  Tune with BENCH_DEADLINE_S (<= the caller's
+    own timeout, or 0 to disable)."""
+    import threading
+
+    def fire():
+        try:
+            _recorded_fallback(f"live bench exceeded {seconds:.0f}s "
+                               "deadline (cold server compile?)")
+        except SystemExit as e:
+            sys.stdout.flush()
+            os._exit(e.code or 0)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
     _require_device()
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "1380"))
+    if deadline > 0:
+        _arm_deadline(deadline)
     from dc_sand_tpu.bench.pipelines import (bench_fengine,
                                              REALTIME_FLOOR_PER_CHIP)
 
